@@ -1,0 +1,56 @@
+"""Parquet table loaders for the driver testdata layout.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+At 100 TB these would be partitioned datasets (partitioned by date /
+station_id per SURVEY.md §4); the loader API is directory-shaped so swapping
+a partitioned layout in changes nothing upstream — Catalyst still gets
+predicate pushdown + column pruning from the parquet scan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS): with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds
+    # (session.RUNTIME_CONFS). Rebuild the timestamp at µs precision —
+    # lossless for this corpus, and µs is what DuckDB/pandas compare at.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumns(
+            {"ts": F.expr("timestamp_micros(ts div 1000)")}
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so SQL-form plans can refer to tables by name."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,114 @@
+"""As-of / piecewise-linear-interpolation join + the flagship pipeline.
+
+The reference's ``np.interp(x_pos, POINTS)`` (estimate_queue.py:136-140) is a
+1-D as-of lookup with linear blending and clamp-at-ends. Set-oriented form
+(functions/estimator.py): broadcast range join against sentinel-padded
+calibration segments — O(1) per probe row, zero shuffle, works unchanged at
+100 TB because the build side is 7 rows.
+
+``queue_estimate`` is the flagship query (SURVEY.md §7 step 1): the entire
+reference pipeline estimate_queue.py:181-192 restated over the ``events``
+table — synthetic model predictions derived from event columns stand in for
+the three keras heads (the real .h5 weights are absent from the reference
+repo, .MISSING_LARGE_BLOBS:1-3; scoring is model-pluggable by design), then
+the exact estimator chain: clamp → lanes → saturation/interp → lane multiply
+→ visibility gate → cars → hours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import estimator as est
+from ..io import load_table
+from ..registry import register
+
+# Synthetic "model head" expressions over events — deterministic stand-ins
+# for the three station-41 keras models (reference estimate_queue.py:24-28).
+_PRED_SQL = """
+    SELECT event_id,
+           user_id AS station_id,
+           ts,
+           value * 4.0 AS queue_end_pos,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 2
+                AS DOUBLE) AS queue_lanes,
+           CASE WHEN event_type = 'error' THEN 0.95
+                ELSE CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                          AS DOUBLE) / 10.0
+           END AS queue_full
+    FROM events
+"""
+
+
+def predictions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → synthetic (station_id, ts, queue_end_pos, queue_lanes,
+    queue_full) predictions table."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("station_id"),
+        "ts",
+        (F.col("value") * F.lit(4.0)).alias("queue_end_pos"),
+        (k % 2).cast("double").alias("queue_lanes"),
+        F.when(F.col("event_type") == "error", F.lit(0.95))
+        .otherwise((k % 10).cast("double") / F.lit(10.0))
+        .alias("queue_full"),
+    )
+
+
+@register(
+    "asof_interp_join",
+    oracle=f"""
+        WITH preds AS ({_PRED_SQL}),
+        clamped AS (
+          SELECT event_id, GREATEST(queue_end_pos, 0.0) AS x_pos FROM preds
+        )
+        SELECT c.event_id, c.x_pos,
+               {est.blend_sql('c.x_pos')} AS meters_interp
+        FROM clamped c
+        JOIN {est.segments_values_sql()}
+          ON c.x_pos >= seg.seg_x1 AND c.x_pos < seg.seg_x2
+    """,
+    doc="np.interp as a broadcast range join (reference "
+    "estimate_queue.py:136-140): sentinel-padded segments make the clamp "
+    "fall out of the linear blend with slope exactly 0. Property-tested "
+    "against numpy in tests/test_estimator.py.",
+    tags=("join", "asof", "interp"),
+)
+def asof_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = predictions_df(spark, sf_dir)
+    clamped = preds.select(
+        "event_id", F.greatest(F.col("queue_end_pos"), F.lit(0.0)).alias("x_pos")
+    )
+    return est.with_interp(clamped, spark, x_col="x_pos", out_col="meters_interp")
+
+
+@register(
+    "queue_estimate",
+    oracle=f"""
+        SELECT event_id, station_id, ts, x_pos, lanes, queue_full,
+               meters, cars, expected_queue_time
+        FROM ({est.estimator_sql(_PRED_SQL)})
+    """,
+    doc="Flagship: the whole reference pipeline (estimate_queue.py:181-192) "
+    "as one declarative plan over events — synthetic model heads, then the "
+    "estimator chain with reference-exact operation order. This is what "
+    "entry() runs at sf0.001.",
+    tags=("flagship", "pipeline"),
+)
+def queue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = predictions_df(spark, sf_dir)
+    out = est.with_queue_estimate(preds, spark)
+    return out.select(
+        "event_id",
+        "station_id",
+        "ts",
+        "x_pos",
+        "lanes",
+        "queue_full",
+        "meters",
+        "cars",
+        "expected_queue_time",
+    )

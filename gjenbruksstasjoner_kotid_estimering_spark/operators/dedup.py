@@ -1,0 +1,152 @@
+"""Deduplication operators (driver-mandated LLM-data-pipeline extension).
+
+Exact dedup grounds in the reference's idempotency (Luigi skips work whose
+output exists, tasks.py:19-29 — i.e. the pipeline never produces two rows
+for the same (station, ts) input). The near-dup family (MinHash/SimHash)
+is the scale path for ~100 TB corpora where O(n²) comparison is impossible:
+shingle → hash → band → bucket-join, all with built-in functions
+(xxhash64, transform, aggregate) — no Python in the hot path.
+
+- ``dedup_exact``      : representative row per duplicate key (oracle-checked)
+- ``dedup_fingerprint``: exact-text dedup via 64-bit rolling fingerprint —
+                          the hash-first pattern that avoids shuffling full
+                          text payloads at scale (oracle-checked: fingerprint
+                          collisions on distinct texts are ~2^-64)
+- ``dedup_near_minhash``: MinHash-LSH candidate pairs (rows-only — banding
+                          is engine-specific by design)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col, tokens_col
+from ..io import load_table
+from ..registry import register
+
+# MinHash parameters: 16 permutations × 4 bands of 4 → candidate recall on
+# Jaccard ≳ 0.5 while keeping the signature tiny.
+N_HASHES = 16
+BAND_SIZE = 4
+SHINGLE_K = 3
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3'); distinct per document."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature_col(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(s, i).
+
+    array_min of a transform — ordered, deterministic, JVM-side.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT l_orderkey,
+               min(l_linenumber) AS first_line,
+               count(*) AS n_dups,
+               min(l_partkey) AS any_part
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+    doc="Exact dedup: one representative row per duplicate key "
+    "(deterministic min-pick), dup count retained — the set form of "
+    "Luigi's skip-existing idempotency (tasks.py:19-29).",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("first_line"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("l_partkey").alias("any_part"),
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=None,  # xxhash64 is Spark-specific → rows-only; invariants pytest-checked
+    doc="Exact-text dedup via 64-bit rolling token fingerprint "
+    "(functions/text.fingerprint_col): group by fingerprint, keep min "
+    "doc_id. At 100 TB the 8-byte key shuffles instead of the text payload.",
+    tags=("dedup", "fingerprint"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", fingerprint_col(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=None,  # LSH banding is engine-specific → rows-only
+    doc="MinHash-LSH near-dup candidates: shingle → 16 xxhash64 minima → 4 "
+    "bands → self-join on (band_id, band_hash) → distinct candidate pairs. "
+    "All built-ins; the O(n²) comparison collapses to bucket-local joins. "
+    "Candidate quality is pytest-checked (identical docs always pair; "
+    "Jaccard-dissimilar docs rarely do).",
+    tags=("dedup", "lsh", "minhash"),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        minhash_signature_col(shingles_col(F.col("text"))).alias("sig"),
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * BAND_SIZE + 1, BAND_SIZE),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )

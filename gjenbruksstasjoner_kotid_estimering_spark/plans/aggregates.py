@@ -1,0 +1,184 @@
+"""Aggregation plans (SURVEY.md §2 Part B "Aggregation").
+
+Grounding: the reference's only literal aggregate is ``max(meters)`` over the
+calibration table (estimate_queue.py:136); the driver contract requires the
+full hash-agg surface. All aggregates here are map-side-combinable
+(sum/count/min/max), so Spark executes partial aggregation before the
+shuffle — the shuffle moves one row per (group × partition), not the data.
+
+Float-determinism note: double summation is order-sensitive in ANY parallel
+engine (Spark and DuckDB both), so oracle-checked sums use exact arithmetic
+only — integer-valued doubles (l_quantity is integral in this corpus, as in
+TPC-H) or cents-scaled BIGINT sums (round(x*100) per row is bit-identical in
+both engines; integer sums are associative). Derived means are quotients of
+those exact parts. ``approx_count_distinct`` is declared rows-only (sketch ≠
+oracle-exact, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact cents representation: round half-away-from-zero in both engines."""
+    return F.round(col * F.lit(100.0), 0).cast("long")
+
+
+@register(
+    "agg_basic",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS count_order,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                        AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               sum(l_quantity) / count(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped hash aggregate: grouped sums/counts/min/max + "
+    "derived mean. Map-side partial agg → 6-group shuffle. Generalizes the "
+    "reference's max-over-calibration (estimate_queue.py:136).",
+    tags=("agg",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Grouped multi-column count-distinct (expand + two-phase agg under "
+    "the hood; at 100 TB prefer approx_count_distinct — see "
+    "agg_approx_distinct).",
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch is engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
+    "cardinality estimation; rows-only because sketches differ across "
+    "engines by design.",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_total_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical ROLLUP (status → priority → grand total): one pass, "
+    "grouping-set expansion handled by the planner.",
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("sum_total_cents"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+               sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+               count(*) AS n_all
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Filtered/conditional aggregation — sum(when(...)) / count_if, the "
+    "set form of the reference tests' branch probes "
+    "(estimate_queue_test.py:79-94).",
+    tags=("agg", "filter"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25.0, F.lit(1))).alias("n_bulk"),
+        F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))).alias(
+            "qty_discounted"
+        ),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+@register(
+    "date_trunc_agg",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
+    """,
+    doc="Calendar bucketing + grouped agg over the event stream — the batch "
+    "form of predictions-per-interval (reference domain: one prediction row "
+    "per station per timestamp, estimate_queue.py:181-192).",
+    tags=("agg", "datetime"),
+)
+def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1,0 +1,252 @@
+"""Window-function plans (SURVEY.md §2 Part B "Window fns", "Sort/limit").
+
+Grounding: "first object under prefix" (reference preprocess_image.py:27) is
+a ranking window; the interp bracket uses lead-over-points
+(operators/asof_interp.py); queue evolution per station over time (the
+domain's prediction series) motivates frame aggregates.
+
+Determinism: every window ORDER BY carries a unique tiebreaker column
+(event_id / o_orderkey) so row_number and frame contents are reproducible —
+a window ordered on a non-unique key is nondeterministic in ANY engine and
+would fail the oracle by construction.
+
+Scale: windows partitioned by a high-cardinality key (user, customer)
+shuffle once on the partition key; no global sort anywhere except the
+explicit top-k, which Spark executes as TakeOrderedAndProject (no full
+sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT * FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER w AS rn,
+                 rank()       OVER w AS rnk,
+                 dense_rank() OVER w AS drnk
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE rn <= 5
+    """,
+    doc="row_number/rank/dense_rank per segment, top-5 — the set form of "
+    "'take the first object under the prefix' (preprocess_image.py:27).",
+    tags=("window", "rank"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               value - lag(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead per station (user) over the event time series — the "
+    "point-bracketing primitive behind the interp join "
+    "(estimate_queue.py:136-140).",
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_v = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        lag_v.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - lag_v).alias("delta"),
+    )
+
+
+@register(
+    "window_frame_agg",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS running_cents,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
+        FROM events
+    """,
+    doc="Frame aggregates: running total + 3-row moving window per station — "
+    "queue evolution over time (domain series, SURVEY.md §2 W-frame row). "
+    "Cents-scaled so running sums are exact integers.",
+    tags=("window", "frame"),
+)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    df = ev.withColumn("_cents", cents)
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("_cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("running_cents"),
+        F.sum("_cents").over(w.rowsBetween(-2, W.currentRow)).alias("moving_cents"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(-2, W.currentRow))
+        .alias("moving_n"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 2
+    """,
+    doc="Top-k per group via ranking window — at scale Spark rewrites "
+    "rank-filter to a per-partition top-k (WindowGroupLimit), no full sort.",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "explode_unpivot",
+    oracle="""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    doc="Table-generating explode: tokenize documents and count tokens — the "
+    "one-row-to-many shape of the reference's prediction-dict fanout "
+    "(estimate_queue.py:85-88).",
+    tags=("explode", "text"),
+)
+def explode_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "struct_map_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS s_status,
+               o_totalprice AS s_total,
+               o_orderstatus AS m_status,
+               concat(o_orderstatus, '|', o_orderpriority) AS packed
+        FROM orders
+    """,
+    doc="Struct/map construction and field access (the reference's "
+    "prediction dict, estimate_queue.py:85-88): build a struct and a map, "
+    "project fields back out. Oracle states the equivalent flat values.",
+    tags=("struct", "map"),
+)
+def struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("total")
+    )
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    df = o.withColumn("_s", s).withColumn("_m", m)
+    return df.select(
+        "o_orderkey",
+        F.col("_s.status").alias("s_status"),
+        F.col("_s.total").alias("s_total"),
+        F.element_at("_m", "status").alias("m_status"),
+        F.concat_ws("|", F.col("_s.status"), F.col("o_orderpriority")).alias(
+            "packed"
+        ),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+        SELECT vec_id, label,
+               len(embedding) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)), 'sum') AS vec_sum,
+               list_max(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE))) AS vec_max,
+               list_aggregate(list_transform(embedding[1:8],
+                   x -> CAST(x AS DOUBLE)), 'sum') AS head_sum
+        FROM embeddings
+    """,
+    doc="Array surface over the embedding vectors (the reference's flattened "
+    "feature arrays, preprocess_image.py:195): size, element_at, slice, "
+    "transform + ordered-fold aggregate, max. Elements cast to double "
+    "before folding so both engines sum float32 identically.",
+    tags=("array",),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head = F.transform(F.slice(F.col("embedding"), 1, 8), lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(  # noqa: E731 — ordered left fold, exact parity
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        fold(as_double).alias("vec_sum"),
+        F.array_max(as_double).alias("vec_max"),
+        fold(head).alias("head_sum"),
+    )

@@ -1,0 +1,78 @@
+"""Query registry: the contract surface behind ``__spark_entry__.py``.
+
+Each implemented operator from SURVEY.md §2 registers a :class:`QuerySpec`
+binding a name to
+
+- ``builder(spark, sf_dir) -> DataFrame`` — the Spark-first plan, and
+- ``oracle`` — the equivalent ANSI SQL DuckDB runs over the same parquet
+  views (``None`` for genuinely non-SQL-expressible ops → the driver records
+  a weaker rows-only check).
+
+Column names (and, where hashing is type-sensitive, types) are aligned
+between the two on purpose: the driver sorts columns by name before value-
+hashing, so every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[Builder], Builder]:
+    """Decorator: register ``fn`` as the Spark builder for ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from .plans import aggregates, joins, relational, setops, text, windows  # noqa: F401
+    from .operators import asof_interp, dedup, similarity, upsert  # noqa: F401
+    from .streaming import windows as stream_windows  # noqa: F401
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,75 @@
+"""SparkSession construction and runtime tuning.
+
+The driver hands us an externally built session in ``entry()``/``queries()``,
+so every scale-relevant knob that is runtime-settable is applied in
+``tune()`` (safe to call on any session, repeatedly); ``get_spark()`` is for
+tests/bench where we own the builder.
+
+Scale posture (100 TB / 1000 executors): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (pandas-UDF transport), session
+timezone pinned UTC (reference parses Europe/Oslo wall-times into epoch —
+estimate_queue.py:49-51 — we normalize at parse time and keep the engine in
+UTC), shuffle partitions sized to the local core count for tests but left to
+AQE coalescing at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (including driver-provided).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension/calibration tables are tiny; make sure Catalyst broadcasts.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # The driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
+    # Spark rejects by default; read it as long nanos and rebuild the
+    # timestamp in io.load_table (micros — the corpus is µs-grained).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not settable at runtime on this build — skip
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "gjenbruksstasjoner-kotid-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session for tests/bench.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (driver contract) or all cores.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

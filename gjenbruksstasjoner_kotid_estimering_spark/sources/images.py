@@ -1,0 +1,205 @@
+"""Multimodal (image) lane: binary columns + typed metadata + pandas-UDF
+preprocessing (SURVEY.md §2 D1-D3, O1-O6).
+
+Reference pipeline (preprocess_image.py): S3 prefix scan → JPEG decode →
+paint-outside-ROI white → crop to ROI bbox → normalize to [0,1] → VGG16
+conv-base featurize → flat float32 vector. Spark-first restatement:
+
+- **Source**: ``spark.read.format("binaryFile")`` → one row per image with
+  ``path/modificationTime/length/content:binary`` — images are just rows
+  with an opaque binary column; filename metadata becomes columns via
+  functions/filename.py (regexp_extract, JVM-side).
+- **Preprocess**: one ``mapInPandas`` pass — Arrow-batched, whole partitions
+  per Python call (the reference's batch-size-1 anti-pattern,
+  preprocess_image.py:195, inverted). ROI mask/crop/normalize are real
+  numpy re-expressions of the reference semantics; they run on whatever the
+  decoder yields.
+- **Decode/featurize are pluggable**: JPEG codecs and VGG16 weights are not
+  in this container (the reference's .h5 blobs are absent too,
+  .MISSING_LARGE_BLOBS:1-3). ``default_decoder`` is a clearly-marked
+  deterministic fake (bytes → tiled uint8 H×W×3); ``default_featurizer`` is
+  a deterministic patch-mean pooler with the real output contract
+  (flat float32). Swap in cv2/keras callables in a full container — the
+  Spark plumbing (schema, batching, partitioning) is identical.
+- **Sink**: features persist as parquet ``array<float>`` (no pickle —
+  reference preprocess_image.py:139-151), partitionable by station_id.
+
+Scale posture: executors each process whole Arrow batches; model/decoder
+objects are created once per Python worker (lazy module-level singleton),
+never per row — the reference reloads VGG16 per image
+(preprocess_image.py:184,194), an anti-pattern SURVEY.md §4 flags.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import filename as fnm
+
+# Reference ROI polygon (preprocess_image.py:19) and crop geometry: bbox of
+# the polygon is y∈[101,211], x∈[0,1227] → 110×1227 crop (FIXTURES.md).
+ROI = np.array([[0, 132], [0, 211], [1227, 125], [1075, 101]], dtype=np.int32)
+RAW_H, RAW_W = 240, 1280  # test fixture frame size (BASELINE.md)
+
+FEATURE_LEN = 512  # fake featurizer output length (real VGG16 path: 58368)
+
+features_schema = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("station_id", LongType()),
+        StructField("epoch", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def default_decoder(content: bytes, h: int = RAW_H, w: int = RAW_W) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (no JPEG codec in this container).
+
+    Tiles the raw bytes into an uint8 H×W×3 array — stable for identical
+    bytes, preserving the "binary → ndarray" contract of cv2.imdecode
+    (reference preprocess_image.py:52). Replace with
+    ``lambda b: cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)``
+    in a codec-equipped container.
+    """
+    need = h * w * 3
+    buf = np.frombuffer(content, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = -(-need // buf.size)  # ceil-divide
+    return np.tile(buf, reps)[:need].reshape(h, w, 3)
+
+
+def _point_in_polygon(ys: np.ndarray, xs: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon over a pixel grid.
+
+    numpy-only stand-in for cv2.drawContours-based filling
+    (reference preprocess_image.py:66-74).
+    """
+    inside = np.zeros(ys.shape, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cond = (ys > min(y1, y2)) & (ys <= max(y1, y2))
+        if y1 != y2:
+            x_int = (ys - y1) * (x2 - x1) / (y2 - y1) + x1
+            inside ^= cond & (xs < x_int)
+    return inside
+
+
+def mask_outside_roi(image: np.ndarray, roi: np.ndarray = ROI) -> np.ndarray:
+    """Paint everything outside the ROI polygon white (255) — reference
+    preprocess_image.py:57-79 semantics."""
+    h, w = image.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w]
+    inside = _point_in_polygon(ys, xs, roi)
+    out = np.full_like(image, 255)
+    out[inside] = image[inside]
+    return out
+
+
+def crop_to_roi_bbox(image: np.ndarray, roi: np.ndarray = ROI) -> np.ndarray:
+    """Crop to the ROI bounding box (reference preprocess_image.py:82-107):
+    the 'column pruning' of the image lane — cheap data reduction before
+    the expensive featurizer."""
+    x_min, y_min = roi.min(axis=0)
+    x_max, y_max = roi.max(axis=0)
+    return image[y_min:y_max, x_min:x_max]
+
+
+def normalize(image: np.ndarray) -> np.ndarray:
+    """uint8 → float64 in [0,1] (reference preprocess_image.py:110-136)."""
+    out = image.astype(np.float64) * (1.0 / 255.0)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    return out
+
+
+def default_featurizer(image: np.ndarray) -> np.ndarray:
+    """DETERMINISTIC FAKE conv-base (VGG16 weights unavailable): mean-pool
+    fixed patches → flat float32[FEATURE_LEN]. Preserves the featurize
+    contract (reference preprocess_image.py:176-195): float32, flat,
+    deterministic for identical input."""
+    h, w = image.shape[:2]
+    gh, gw = 8, 64  # 8*64 = FEATURE_LEN patches
+    ph, pw = max(h // gh, 1), max(w // gw, 1)
+    trimmed = image[: ph * gh, : pw * gw]
+    pooled = trimmed.reshape(gh, ph, gw, pw, -1).mean(axis=(1, 3, 4))
+    return pooled.astype(np.float32).flatten()[:FEATURE_LEN]
+
+
+def read_images(spark: SparkSession, path: str, glob: str = "*.jpg") -> DataFrame:
+    """Binary-file source: one row per image (reference O1/O2,
+    preprocess_image.py:22-54)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def with_path_metadata(images: DataFrame, ext: str = "jpg") -> DataFrame:
+    """Filename-encoded metadata → columns (reference estimate_queue.py:31-61),
+    JVM-side regex on the basename. Raw frames are ``station_id_X_T.jpg``;
+    the reference's parser handles the ``.bin`` intermediates — same stem,
+    different extension."""
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return images.withColumn(
+        "station_id", fnm.station_id_col(base, ext=ext)
+    ).withColumn("epoch", fnm.epoch_col(base, ext=ext))
+
+
+def preprocess_images(
+    images: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = default_decoder,
+    featurizer: Callable[[np.ndarray], np.ndarray] = default_featurizer,
+) -> DataFrame:
+    """binaryFile rows → feature rows in one Arrow-batched pass.
+
+    The whole reference preprocess chain (mask → crop → normalize →
+    featurize, preprocess_image.py:198-205) runs per partition inside
+    ``mapInPandas`` — batch-at-a-time, decoder/featurizer constructed once
+    per worker.
+    """
+    with_meta = with_path_metadata(images).select(
+        "path", "station_id", "epoch", "content"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                img = decoder(bytes(content))
+                img = mask_outside_roi(img)
+                img = crop_to_roi_bbox(img)
+                img = normalize(img)
+                feats.append(featurizer(img))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "station_id": pdf["station_id"],
+                    "epoch": pdf["epoch"],
+                    "features": feats,
+                }
+            )
+
+    return with_meta.mapInPandas(process, schema=features_schema)
+
+
+def write_features(features: DataFrame, out_dir: str) -> None:
+    """Persist features as parquet array<float>, partitioned by station —
+    the reference's pickle-to-S3 sink (preprocess_image.py:139-151) made
+    columnar + partition-prunable."""
+    features.write.mode("overwrite").partitionBy("station_id").parquet(out_dir)

@@ -1,0 +1,99 @@
+"""Structured-Streaming file-arrival pipeline (reference architecture lane).
+
+The reference's Luigi layer is an incremental file processor: a task runs
+iff its output target does not exist (tasks.py:19-29), giving at-most-once
+per input file; start.sh runs one pass per container. The Spark-native
+replacement is a checkpointed file-source stream:
+
+    readStream(parquet dir) → transform → writeStream(Trigger.AvailableNow)
+
+The checkpoint's source log replaces target-existence memoization (files
+already processed are never re-read — exactly-once to a file sink), and
+``Trigger.AvailableNow`` reproduces the one-shot "drain everything then
+exit" container behavior. Watermarked dedup replaces "re-running the same
+image is a no-op".
+
+Smoke-tested in tests/test_streaming.py (rows-only by driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..io import load_table, table_path
+
+
+def raw_events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """On-disk schema (ts arrives as long nanos under nanosAsLong — the
+    stream source schema must match the file, not the cleaned table)."""
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-arrival micro-batch source over the events directory.
+
+    The file source needs a *directory* to watch (new files under it become
+    micro-batches); the testdata lays one parquet file per table in a shared
+    dir, so watch the dir with a glob pinned to the events file. The nanos
+    ts is rebuilt to a µs timestamp post-scan, mirroring io.load_table.
+    """
+    stream = (
+        spark.readStream.schema(raw_events_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumns({"ts": F.expr("timestamp_micros(ts div 1000)")})
+    return stream
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window agg (late data beyond 30 min dropped)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Stateful dedup within the watermark — the streaming form of Luigi's
+    'same input twice is a no-op' (tasks.py:19-29)."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=windowed_counts_stream,
+) -> None:
+    """One-shot incremental drain: process every not-yet-seen file, write
+    parquet, exit — the reference's container one-shot (start.sh:3-4) with
+    checkpointed exactly-once instead of target-existence checks."""
+    stream = transform(read_events_stream(spark, sf_dir))
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,120 @@
+"""Event-time windowing (SURVEY.md §2 "Streaming").
+
+The reference's operational model is a file-arrival micro-batch stream (one
+image lands under a prefix → one pipeline run, start.sh:3-4); its per-
+timestamp predictions form an event-time series. Here:
+
+- ``stream_tumbling_window``: tumbling-window aggregation in its *batch*
+  form (``F.window`` over the events table) — oracle-checked; the windowing
+  arithmetic (epoch-aligned 10-minute buckets) is identical to what the
+  streaming engine applies per micro-batch.
+- ``stream_sliding_window``: overlapping windows (1 row → 2 windows).
+- The true ``readStream`` + watermark variants live in
+  streaming/file_stream.py and are smoke-tested (rows-only by driver
+  contract — streaming state is engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY time_bucket(INTERVAL '10 minutes', ts), user_id
+    """,
+    doc="Tumbling 10-minute event-time windows per station (batch form of "
+    "the streaming agg; both engines align buckets on the epoch ⇒ "
+    "time_bucket ≡ F.window start). The streaming twin runs in "
+    "streaming/file_stream.py with a watermark.",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        WITH offsets AS (SELECT unnest([0, 5]) AS off_min),
+        assigned AS (
+          SELECT time_bucket(INTERVAL '10 minutes',
+                             ts - to_minutes(off_min))
+                 + to_minutes(off_min) AS window_start,
+                 value
+          FROM events CROSS JOIN offsets
+        )
+        SELECT window_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM assigned
+        GROUP BY window_start
+    """,
+    doc="Sliding windows (10-minute length, 5-minute slide): each event "
+    "lands in 2 windows. Oracle replays the window-assignment arithmetic "
+    "via bucket-shifted time_bucket.",
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value_cents"
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle=None,  # session assignment is iterative — rows-only; invariants pytest-checked
+    doc="Session windows (30-minute gap) per station — visits between "
+    "queue-empty gaps (SURVEY.md §2 sessionization row). Batch form of "
+    "session_window; gap-merge semantics are pytest-checked.",
+    tags=("streaming", "session"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,133 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle over the same
+parquet tables, then compares row count, column names, and values
+(order-insensitive, exact) — so oracle mismatches surface here before the
+driver sees them.
+
+Usage: python scripts/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+from gjenbruksstasjoner_kotid_estimering_spark.io import TABLES
+from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by repr of every column — the
+    order-insensitive canonical form used for comparison."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:  # unify datetime64 resolution (ns vs us noise)
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = df[col].astype("datetime64[us]")
+    if len(df):
+        key = df.apply(lambda c: c.map(repr)).agg("|".join, axis=1)
+        df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
+    return df
+
+
+def cell_equal(a, b) -> bool:
+    if repr(a) == repr(b):
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        return float(a) == float(b) or repr(float(a)) == repr(float(b))
+    except (TypeError, ValueError):
+        return False
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} "
+            f"duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s, d = canon(spark_df), canon(duck_df)
+    for col in s.columns:
+        sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        bad = [
+            i for i in range(len(sv)) if not cell_equal(sv[i], dv[i])
+        ]
+        if bad:
+            i = bad[0]
+            problems.append(
+                f"col {col!r}: {len(bad)}/{len(sv)} cells differ; "
+                f"first at row {i}: spark={sv[i]!r} duck={dv[i]!r} "
+                f"(spark dtype {s[col].dtype}, duck dtype {d[col].dtype})"
+            )
+    return problems
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        args = args[1:]
+    specs = registry.all_specs()
+    names = args or sorted(specs)
+    spark = get_spark("compare-harness")
+    con = duck_con(sf_dir)
+    failures = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(
+                f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)"
+                " [rows-only]"
+            )
+            if len(sdf) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
