@@ -1,0 +1,102 @@
+"""Estimator chain golden tests — ports of the reference's own test suite
+(reference test/estimate_queue_test.py:68-100) against the DataFrame
+expressions, plus np.interp parity for the range-join interpolation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gjenbruksstasjoner_kotid_estimering_spark.functions import estimator as est
+
+
+def _cars(spark, rows):
+    """rows: [(queue_end_pos, queue_lanes, queue_full), ...] → cars list."""
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in rows],
+        schema="queue_end_pos double, queue_lanes double, queue_full double",
+    )
+    out = est.with_queue_estimate(df, spark)
+    got = {
+        (r.queue_end_pos, r.queue_lanes, r.queue_full): r.cars
+        for r in out.collect()
+    }
+    return [got[(float(a), float(b), float(c))] for a, b, c in rows]
+
+
+def test_estimator_goldens(spark):
+    """Monotonicity/invariance table (estimate_queue_test.py:68-94)."""
+    cars = _cars(
+        spark,
+        [
+            (0, 0, 0),
+            (100, 0, 0),
+            (500, 0, 0),
+            (500, 1, 0),
+            (5, 1, 0),
+            (5, 0, 0),
+            (900, 0, 1),
+            (100000, 0, 0),
+        ],
+    )
+    zero, below, visible, two_lane, inv_lane, inv_base, full, absurd = cars
+    assert zero == 0.0
+    assert below == 0.0  # below visibility threshold
+    assert visible > 0.0
+    assert two_lane > visible  # extra lane strictly increases cars
+    assert inv_lane == inv_base == 0.0  # lanes moot when invisible
+    # full-queue saturation equals absurdly long queue (estimate_queue_test.py:93-94)
+    assert full == absurd == pytest.approx((139.4 + 34.0) * 0.13)
+
+
+def test_time_in_queue_exact(spark):
+    """estimate_time_in_queue({'cars': 5}, 70) == 5/70
+    (estimate_queue_test.py:97-100). Our chain fixes inflow at 74; check the
+    division exactly at inflow=74 and the 5/70 identity via raw arithmetic."""
+    df = spark.createDataFrame(
+        [(500.0, 0.0, 0.0)],
+        schema="queue_end_pos double, queue_lanes double, queue_full double",
+    )
+    row = est.with_queue_estimate(df, spark).collect()[0]
+    assert row.expected_queue_time == row.cars / 74.0
+    assert 5.0 / 70.0 == pytest.approx(0.07142857142857142)
+
+
+def test_interp_matches_numpy(spark):
+    """Broadcast range-join interpolation ≡ np.interp over the calibration
+    points — interior, exact knots, and both clamped ends
+    (estimate_queue.py:136-140 semantics)."""
+    rng = np.random.default_rng(42)
+    xs = np.concatenate(
+        [
+            rng.uniform(-200.0, 1400.0, 500),
+            np.array([x for x, _ in est.POINTS], dtype=np.float64),
+            np.array([0.0, 32.999, 33.0, 1116.999, 1117.0, 1e6]),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], schema="i long, x_pos double"
+    )
+    out = est.with_interp(df, spark).orderBy("i").collect()
+    got = np.array([r.meters_interp for r in out])
+    px = [x for x, _ in est.POINTS]
+    py = [y for _, y in est.POINTS]
+    expected = np.interp(xs, px, py)
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+    # row count preserved (segments partition the real line)
+    assert len(out) == len(xs)
+
+
+def test_lanes_rounding(spark):
+    """lanes = round(queue_lanes + 1): binary prediction → 1 or 2 lanes
+    (estimate_queue.py:122-124)."""
+    df = spark.createDataFrame(
+        [(400.0, 0.0, 0.0), (400.0, 1.0, 0.0), (400.0, 0.4, 0.0), (400.0, 0.6, 0.0)],
+        schema="queue_end_pos double, queue_lanes double, queue_full double",
+    )
+    lanes = {
+        r.queue_lanes: r.lanes for r in est.with_queue_estimate(df, spark).collect()
+    }
+    assert lanes[0.0] == 1.0 and lanes[0.4] == 1.0
+    assert lanes[1.0] == 2.0 and lanes[0.6] == 2.0

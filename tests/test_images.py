@@ -1,0 +1,72 @@
+"""Image-lane tests: numpy semantics of mask/crop/normalize (reference
+preprocess_image.py:57-136) and the Spark plumbing end-to-end (binaryFile →
+mapInPandas → parquet features)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gjenbruksstasjoner_kotid_estimering_spark.sources import images as im
+
+
+def test_crop_geometry():
+    """ROI bbox crop: 1280×240 frame → 110×1227 (FIXTURES.md; reference
+    preprocess_image.py:100-105)."""
+    frame = np.zeros((im.RAW_H, im.RAW_W, 3), dtype=np.uint8)
+    cropped = im.crop_to_roi_bbox(frame)
+    assert cropped.shape == (110, 1227, 3)
+
+
+def test_mask_outside_roi_white():
+    frame = np.zeros((im.RAW_H, im.RAW_W, 3), dtype=np.uint8)
+    masked = im.mask_outside_roi(frame)
+    # corners are far outside the ROI polygon → painted white
+    assert (masked[0, 0] == 255).all()
+    assert (masked[-1, -1] == 255).all()
+    # a point well inside the polygon keeps its (black) value
+    assert (masked[150, 300] == 0).all()
+    # mask only ever brightens to white or preserves
+    assert set(np.unique(masked)) <= {0, 255}
+
+
+def test_normalize_range():
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    out = im.normalize(img)
+    assert out.dtype == np.float64
+    assert out.min() == 0.0 and out.max() == pytest.approx(1.0)
+
+
+def test_decoder_deterministic():
+    a = im.default_decoder(b"hello world" * 100)
+    b = im.default_decoder(b"hello world" * 100)
+    c = im.default_decoder(b"other bytes!" * 100)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.shape == (im.RAW_H, im.RAW_W, 3) and a.dtype == np.uint8
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    names = [
+        "station_id_41_20200506T094000.jpg",
+        "station_id_41_20200506T095000.jpg",
+        "station_id_7_20210101T120000.jpg",
+        "not_a_station_frame.jpg",
+    ]
+    for n in names:
+        (tmp_path / n).write_bytes(rng.bytes(4096))
+    feats = im.preprocess_images(im.read_images(spark, str(tmp_path)))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in feats.collect()}
+    assert len(rows) == 4
+    golden = rows["station_id_41_20200506T094000.jpg"]
+    assert golden.station_id == 41
+    assert golden.epoch == 1588750800  # reference golden (estimate_queue_test.py:30)
+    assert len(golden.features) == im.FEATURE_LEN
+    assert rows["not_a_station_frame.jpg"].station_id is None
+    # persist partitioned by station and read back
+    out = tmp_path / "features_out"
+    im.write_features(feats, str(out))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 4
+    assert set(back.columns) == {"path", "station_id", "epoch", "features"}

@@ -1,0 +1,55 @@
+"""Keyed upsert semantics (reference estimate_queue_test.py:103-114:
+write (99, '1593672630', {foo:1.2, bar:3.4}) then read it back; update_item
+last-write-wins)."""
+
+from __future__ import annotations
+
+from gjenbruksstasjoner_kotid_estimering_spark.operators.upsert import (
+    apply_upserts,
+    latest_per_key,
+)
+
+
+def test_write_then_read_back(spark):
+    target = spark.createDataFrame(
+        [], schema="station_id long, ts string, foo double, bar double, seq long"
+    )
+    changes = spark.createDataFrame(
+        [(99, "1593672630", 1.2, 3.4, 1)],
+        schema="station_id long, ts string, foo double, bar double, seq long",
+    )
+    merged = apply_upserts(
+        target, changes, key_cols=["station_id", "ts"], order_cols=["seq"]
+    ).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert (row.station_id, row.ts, row.foo, row.bar) == (99, "1593672630", 1.2, 3.4)
+
+
+def test_last_write_wins(spark):
+    target = spark.createDataFrame(
+        [(41, "t1", 1.0, 0.0, 1), (41, "t2", 2.0, 0.0, 1)],
+        schema="station_id long, ts string, foo double, bar double, seq long",
+    )
+    changes = spark.createDataFrame(
+        [(41, "t1", 10.0, 9.0, 2), (7, "t1", 5.0, 5.0, 2)],
+        schema="station_id long, ts string, foo double, bar double, seq long",
+    )
+    merged = apply_upserts(
+        target, changes, key_cols=["station_id", "ts"], order_cols=["seq"]
+    )
+    got = {(r.station_id, r.ts): (r.foo, r.bar) for r in merged.collect()}
+    assert got == {
+        (41, "t1"): (10.0, 9.0),  # updated
+        (41, "t2"): (2.0, 0.0),   # untouched
+        (7, "t1"): (5.0, 5.0),    # inserted
+    }
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 10, 200.0)], schema="k long, ts long, v double"
+    )
+    # equal ts: the later order col (here v) breaks the tie deterministically
+    out = latest_per_key(df, key_cols=["k"], order_cols=["ts", "v"]).collect()
+    assert len(out) == 1 and out[0].v == 200.0
