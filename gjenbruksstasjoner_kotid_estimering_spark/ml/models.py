@@ -1,0 +1,180 @@
+"""MLlib model lane — the reference's three-keras-head scoring
+(estimate_queue.py:24-28,80-88: queue_end_pos / queue_lanes / queue_full,
+one model each, all scoring the same feature vector) rebuilt on Spark MLlib.
+
+The reference ships no weights (.MISSING_LARGE_BLOBS:1-3), so its own tests
+mock the models; here the stand-ins are *trained* MLlib LinearRegression
+models fit on deterministic synthetic targets over the ``embeddings`` table
+— the full train → broadcast → batch-score lifecycle is real, the learned
+weights are reproducible (seeded, closed-form targets), and scoring is
+columnar (``model.transform``, JVM-side, no per-row Python).
+
+Also here: the IVF similarity path — KMeans coarse quantizer + probe-K
+bucket search, the scale companion to operators/similarity.similarity_topk
+(brute force). At 100 TB: centroids broadcast, per-vector assignment is a
+map-side argmin, candidate search touches ~K/nlist of the corpus.
+
+``queue_estimate_ml`` chains scoring into the estimator expression chain —
+the complete reference pipeline (estimate_queue.py:181-192) with a *trained*
+model in the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.regression import LinearRegression, LinearRegressionModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import estimator as est
+from ..io import load_table
+from ..registry import register
+
+SEED = 42
+EMB_DIM = 64
+
+# Deterministic "true" weight vectors for the three synthetic targets —
+# the models must recover these (linear targets, exact solution exists).
+_RNG = np.random.default_rng(SEED)
+TRUE_WEIGHTS = {
+    "queue_end_pos": _RNG.normal(0.0, 50.0, EMB_DIM).round(3),
+    "queue_lanes": _RNG.normal(0.0, 0.2, EMB_DIM).round(3),
+    "queue_full": _RNG.normal(0.0, 0.1, EMB_DIM).round(3),
+}
+
+
+def _features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.withColumn(
+        "features",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))),
+    )
+
+
+def _with_targets(df: DataFrame) -> DataFrame:
+    """Linear synthetic targets: y = w · embedding (per head)."""
+    for name, w in TRUE_WEIGHTS.items():
+        arr = F.transform("embedding", lambda x: x.cast("double"))
+        weights = F.array(*[F.lit(float(v)) for v in w])
+        dot = F.aggregate(
+            F.zip_with(arr, weights, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        df = df.withColumn(f"target_{name}", dot)
+    return df
+
+
+def train_queue_models(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, LinearRegressionModel]:
+    """Fit one LinearRegression per head (the reference's model_specs list,
+    estimate_queue.py:24-28, with load_model_file → fit)."""
+    train = _with_targets(_features_df(spark, sf_dir))
+    models = {}
+    for name in TRUE_WEIGHTS:
+        lr = LinearRegression(
+            featuresCol="features",
+            labelCol=f"target_{name}",
+            predictionCol=f"pred_{name}",
+            regParam=0.0,
+            solver="normal",
+        )
+        models[name] = lr.fit(train)
+    return models
+
+
+def score(models: dict[str, LinearRegressionModel], df: DataFrame) -> DataFrame:
+    """Batch-score every head over the same features column — the columnar
+    form of the reference's predict() dict (estimate_queue.py:80-88)."""
+    for model in models.values():
+        df = model.transform(df)
+    return df
+
+
+@register(
+    "queue_estimate_ml",
+    oracle=None,  # trained-model scoring is engine-specific → rows-only
+    doc="Full reference pipeline with a trained MLlib model in the loop: "
+    "embeddings → 3 LinearRegression heads (trained on deterministic "
+    "linear targets) → estimator chain (clamp → interp-join → lanes → "
+    "gate → cars → hours). Model quality is pytest-asserted (recovered "
+    "weights ≈ true weights).",
+    tags=("ml", "flagship"),
+)
+def queue_estimate_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    models = train_queue_models(spark, sf_dir)
+    scored = score(models, _features_df(spark, sf_dir)).select(
+        F.col("vec_id").alias("station_id"),
+        F.col("pred_queue_end_pos").alias("queue_end_pos"),
+        # lanes head is binary-ish in the reference; squash into [0,1]
+        F.when(F.col("pred_queue_lanes") > 0.0, 1.0)
+        .otherwise(0.0)
+        .alias("queue_lanes"),
+        F.least(
+            F.greatest(F.col("pred_queue_full") + 0.5, F.lit(0.0)), F.lit(1.0)
+        ).alias("queue_full"),
+    )
+    out = est.with_queue_estimate(scored, spark)
+    return out.select(
+        "station_id",
+        "x_pos",
+        "lanes",
+        "queue_full",
+        "meters",
+        "cars",
+        "expected_queue_time",
+    )
+
+
+def kmeans_index(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: KMeans over the corpus → (assigned corpus,
+    centroid matrix)."""
+    feats = _features_df(spark, sf_dir)
+    km = KMeans(k=k, seed=SEED, featuresCol="features", predictionCol="cluster")
+    model = km.fit(feats)
+    assigned = model.transform(feats)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # kmeans partitioning is engine-specific → rows-only
+    doc="IVF similarity search: KMeans(8) coarse quantizer, probe the 2 "
+    "centroids nearest the query, exact cosine only within those buckets "
+    "— touches ~1/4 of the corpus instead of all of it. Recall vs brute "
+    "force is pytest-asserted.",
+    tags=("ml", "similarity", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import QUERY_VEC_ID, TOP_K, cosine_col
+
+    assigned, centroids = kmeans_index(spark, sf_dir)
+    qrow = (
+        assigned.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    qvec = np.array(qrow.embedding, dtype=np.float64)
+    # probe the 2 nearest centroids (driver-side: centroids are tiny)
+    d2 = ((centroids - qvec) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:2]]
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    candidates = assigned.where(F.col("cluster").isin(probe))
+    scored = candidates.crossJoin(q).select(
+        "vec_id",
+        "label",
+        "cluster",
+        cosine_col(F.col("embedding"), F.col("qv")).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)

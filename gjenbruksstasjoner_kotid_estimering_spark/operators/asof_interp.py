@@ -112,3 +112,44 @@ def queue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cars",
         "expected_queue_time",
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               last_value(CASE WHEN event_type = 'error' THEN value END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_error_value,
+               count(CASE WHEN event_type = 'error' THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS errors_so_far
+        FROM events
+    """,
+    doc="As-of (nearest preceding) join: every event picks up the most "
+    "recent at-or-before 'error' reading of its station — the general form "
+    "of the interp clamp (SURVEY.md O14 'as-of' row). Implemented WITHOUT a "
+    "join: last(ignorenulls) over an ordered per-key window — one shuffle "
+    "on the key, O(n) state, the scalable as-of pattern at 100 TB.",
+    tags=("join", "asof", "window"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = F.when(F.col("event_type") == "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(marked, ignorenulls=True).over(w).alias("last_error_value"),
+        F.count(marked).over(w).alias("errors_so_far"),
+    )

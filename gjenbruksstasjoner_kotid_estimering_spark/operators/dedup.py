@@ -163,3 +163,61 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH grams AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(list_filter(
+                   list_transform(string_split(text, ' '),
+                     (x, i) -> CASE WHEN i < len(string_split(text, ' '))
+                               THEN x || ' ' || string_split(text, ' ')[i + 1]
+                               END),
+                   y -> y IS NOT NULL)) AS bigrams
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_filter(a.bigrams,
+                        x -> list_contains(b.bigrams, x))) AS DOUBLE)
+               / CAST(len(a.bigrams) + len(b.bigrams)
+                      - len(list_filter(a.bigrams,
+                            x -> list_contains(b.bigrams, x))) AS DOUBLE)
+                 AS jaccard
+        FROM grams a JOIN grams b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_filter(a.bigrams, x -> list_contains(b.bigrams, x))) > 0
+    """,
+    doc="Exact n-gram (word-bigram) Jaccard similarity for doc pairs, "
+    "blocked on (lang, source) so the pair space stays bucket-local — the "
+    "exact-similarity stage that follows MinHash candidate generation at "
+    "scale. Single double division → oracle-exact.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        shingles_col(F.col("text"), k=2).alias("bigrams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams")))
+    union = F.size(F.col("a.bigrams")) + F.size(F.col("b.bigrams")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )

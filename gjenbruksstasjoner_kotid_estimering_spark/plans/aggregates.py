@@ -182,3 +182,61 @@ def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): all 2^2 grouping sets in one "
+    "pass — grouping-set expansion, not four scans.",
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O",
+               CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
+               CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE)
+                 AS qty_O,
+               CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+                 AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pivot: linestatus values become columns (explicit value list — at "
+    "scale never let pivot infer distinct values with an extra pass). "
+    "Oracle states the equivalent FILTER aggregates.",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    return counts.select(
+        "l_returnflag",
+        F.col("O_n").alias("O"),
+        F.col("F_n").alias("F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+    )

@@ -403,3 +403,94 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.get_json_object("props", "$.missing").cast("long").alias("missing_attr"),
     )
+
+
+@register(
+    "sort_multi",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity
+        FROM lineitem
+        ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    doc="Global multi-key sort with mixed directions + limit — executed as "
+    "TakeOrderedAndProject (per-partition top-k + driver merge), never a "
+    "full global sort.",
+    tags=("sort",),
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"
+        )
+        .orderBy(
+            F.col("l_returnflag"),
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "null_funcs",
+    oracle="""
+        SELECT event_id,
+               coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT),
+                        -1) AS k_or_default,
+               nullif(event_type, 'error') AS type_or_null,
+               (json_extract_string(props, '$.missing') IS NULL) AS is_missing,
+               CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 'absent' ELSE 'present' END AS presence
+        FROM events
+    """,
+    doc="NULL-handling surface: coalesce / nullif / null-test / null-driven "
+    "CASE — the set-oriented form of the reference's missing-attribute "
+    "guards (estimate_queue.py:37-59 error paths become NULL rows).",
+    tags=("null",),
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing")
+    return ev.select(
+        "event_id",
+        F.coalesce(missing.cast("long"), F.lit(-1)).alias("k_or_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        missing.isNull().alias("is_missing"),
+        F.when(missing.isNull(), F.lit("absent"))
+        .otherwise(F.lit("present"))
+        .alias("presence"),
+    )
+
+
+@register(
+    "date_arith",
+    oracle="""
+        SELECT event_id,
+               ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+               CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+               CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        FROM events
+    """,
+    doc="Timestamp arithmetic: interval add, field extraction, day diff, "
+    "epoch — the reference's timestamp handling (estimate_queue.py:49-51) "
+    "generalized. DuckDB dayofweek is 0-based Sunday; Spark's is 1-based — "
+    "the oracle shifts to match.",
+    tags=("datetime",),
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").alias("dow"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )

@@ -100,3 +100,81 @@ def text_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# Tiny per-language stopword lexicons for the langid heuristic.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n                 ".join(
+        f"len(list_filter(string_split_regex(text, '\\s+'), "
+        f"t -> list_contains({list(words)!r}, t))) AS hits_{lang}"
+        for lang, words in LANG_LEXICONS.items()
+    )
+    langs = list(LANG_LEXICONS)
+    # first-max with fixed priority order (en > es > de > fr)
+    cond = "CASE "
+    for i, lang in enumerate(langs):
+        others = [f"hits_{lang} >= hits_{o}" for o in langs[i + 1 :]]
+        clause = " AND ".join(others) if others else "TRUE"
+        cond += f"WHEN {clause} THEN '{lang}' "
+    cond += "END"
+    return f"""
+        WITH sig AS (
+          SELECT doc_id,
+                 {hit_cols}
+          FROM documents
+        )
+        SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+               {cond} AS predicted_lang
+        FROM sig
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="Language-ID heuristic: stopword-hit voting over tiny per-language "
+    "lexicons, argmax with fixed priority tie-break — the n-gram-lite "
+    "langid stage of a corpus pipeline, fully JVM-side.",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens_col(F.col("text"))
+    df = d.select("doc_id", toks.alias("_toks"))
+
+    def hits(words: tuple[str, ...]):
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        return F.size(F.filter(F.col("_toks"), lambda t: t.isin(*words)))
+
+    for lang, words in LANG_LEXICONS.items():
+        df = df.withColumn(f"hits_{lang}", hits(words))
+    langs = list(LANG_LEXICONS)
+    expr = None
+    for i, lang in enumerate(langs):
+        conds = [
+            F.col(f"hits_{lang}") >= F.col(f"hits_{o}") for o in langs[i + 1 :]
+        ]
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    return df.select(
+        "doc_id",
+        "hits_en",
+        "hits_es",
+        "hits_de",
+        "hits_fr",
+        expr.alias("predicted_lang"),
+    )

@@ -250,3 +250,31 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(as_double).alias("vec_max"),
         fold(head).alias("head_sum"),
     )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution windows: ntile/percent_rank/cume_dist per segment — "
+    "quantile bucketing for the quality-score stratification a training "
+    "pipeline runs before sampling.",
+    tags=("window", "ntile"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

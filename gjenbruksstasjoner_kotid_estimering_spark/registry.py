@@ -59,6 +59,7 @@ def _load_all() -> None:
     from .plans import aggregates, joins, relational, setops, text, windows  # noqa: F401
     from .operators import asof_interp, dedup, similarity, upsert  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
+    from .ml import models  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
