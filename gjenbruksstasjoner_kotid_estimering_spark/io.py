@@ -54,3 +54,31 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so SQL-form plans can refer to tables by name."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, out_dir: str, partition_cols: list[str]
+) -> None:
+    """Partitioned parquet sink — the layout that buys partition pruning on
+    every downstream read (reference's prefix-scoped S3 layout, tasks.py:19-29,
+    done properly)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at write
+    time so joins/aggregations on that key read shuffle-free — the 100 TB
+    strategy for repeated fact-fact joins (bucket both sides identically;
+    Catalyst elides the Exchange, verified in tests/test_bucketing.py)."""
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

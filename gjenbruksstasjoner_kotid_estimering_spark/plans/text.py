@@ -178,3 +178,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_fr",
         expr.alias("predicted_lang"),
     )
+
+
+# GPT-2-ish coarse token classes: letter runs, digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                 AS n_ws_tokens
+        FROM documents
+    """,
+    doc="BPE-ish token counting: letter/digit/punctuation-run classes via "
+    "regexp_count (the pre-tokenizer pass of a BPE pipeline), alongside the "
+    "whitespace count — both JVM-side regex, no Python.",
+    tags=("text", "tokens"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        tx.token_count_col(F.col("text")).alias("n_ws_tokens"),
+    )

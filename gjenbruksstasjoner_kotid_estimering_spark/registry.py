@@ -57,7 +57,7 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .plans import aggregates, joins, relational, setops, text, windows  # noqa: F401
-    from .operators import asof_interp, dedup, similarity, udaf, upsert  # noqa: F401
+    from .operators import asof_interp, dedup, similarity, udaf, udtf, upsert  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
     from .ml import models  # noqa: F401
 

@@ -60,6 +60,8 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -67,6 +69,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                tempfile.mkdtemp(prefix="spark-warehouse-"),
+            ),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
