@@ -178,3 +178,51 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_col(F.col("embedding"), F.col("qv")).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+# Separable binary target for the classifier lane: sign(w_cls · embedding).
+CLS_WEIGHTS = np.random.default_rng(SEED + 1).normal(0.0, 1.0, EMB_DIM).round(3)
+
+
+@register(
+    "ml_classifier_eval",
+    oracle=None,  # trained-model metrics are engine-specific → rows-only
+    doc="Train/evaluate lifecycle: LogisticRegression on a separable "
+    "synthetic target (sign of a fixed linear functional), 80/20 split by "
+    "key hash, one metrics row (accuracy + AUC). Accuracy ≈ 1.0 is "
+    "pytest-asserted — the model-quality gate of the scoring lane.",
+    tags=("ml", "classifier"),
+)
+def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    feats = _features_df(spark, sf_dir)
+    weights = F.array(*[F.lit(float(v)) for v in CLS_WEIGHTS])
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(arr, weights, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    labeled = feats.withColumn("label_bin", (dot > 0).cast("double"))
+    train = labeled.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    test = labeled.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label_bin", maxIter=50
+    )
+    model = lr.fit(train)
+    scored = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label_bin", metricName="accuracy"
+    ).evaluate(scored)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label_bin", metricName="areaUnderROC"
+    ).evaluate(scored)
+    return spark.createDataFrame(
+        [(train.count(), test.count(), float(acc), float(auc))],
+        schema="n_train long, n_test long, accuracy double, auc double",
+    )

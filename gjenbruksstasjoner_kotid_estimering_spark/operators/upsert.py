@@ -44,6 +44,41 @@ def apply_upserts(
     )
 
 
+def foreach_batch_upserter(
+    target_dir: str, key_cols: list[str], order_cols: list[str]
+):
+    """``writeStream.foreachBatch`` sink: merge each micro-batch into a
+    parquet target with last-write-wins semantics — the streaming form of
+    the reference's DynamoDB update_item sink (estimate_queue.py:166-178).
+
+    With a transactional table format this body becomes MERGE INTO; the
+    read-merge-overwrite here is the format-agnostic equivalent (the
+    checkpoint guarantees each batch applies exactly once).
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch.sparkSession
+        if os.path.exists(target_dir):
+            target = spark.read.parquet(target_dir)
+            merged = apply_upserts(
+                target, batch, key_cols=key_cols, order_cols=order_cols
+            )
+        else:  # first batch: no target yet
+            merged = latest_per_key(batch, key_cols, order_cols)
+        # Never overwrite the path being read: write aside, then swap.
+        # (On an object store this whole body is a transactional MERGE.)
+        tmp = f"{target_dir.rstrip('/')}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(tmp, target_dir)
+
+    return apply
+
+
 @register(
     "upsert_last_write_wins",
     oracle="""

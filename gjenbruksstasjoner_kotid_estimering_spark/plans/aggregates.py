@@ -240,3 +240,146 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").alias("qty_O"),
         F.col("F_qty").alias("qty_F"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (status-only, priority-only, grand total) "
+    "with grouping() markers distinguishing real NULLs from rollup NULLs — "
+    "expressed through the SQL API (same Catalyst plan as the DataFrame "
+    "form).",
+    tags=("agg", "grouping_sets", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               l_quantity AS metric_value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+               l_discount AS metric_value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS metric_value
+        FROM lineitem
+    """,
+    doc="Unpivot/melt: wide metric columns → long (key, metric, value) form "
+    "— the inverse of agg_pivot, one pass (Spark Expand node, not three "
+    "scans).",
+    tags=("unpivot",),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    ).withColumn(
+        "metric",
+        F.element_at(F.split(F.col("metric"), "_"), 2),
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+        WITH cents AS (
+          SELECT l_returnflag,
+                 CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS q,
+                 CAST(round(l_discount * 10000.0, 0) AS BIGINT) AS d
+          FROM lineitem
+        ),
+        sums AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(q) AS BIGINT) AS sq,
+                 CAST(sum(d) AS BIGINT) AS sd,
+                 CAST(sum(q * q) AS BIGINT) AS sqq,
+                 CAST(sum(d * d) AS BIGINT) AS sdd,
+                 CAST(sum(q * d) AS BIGINT) AS sqd
+          FROM cents GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (CAST(sq AS DOUBLE) / n) / 100.0 AS mean_qty,
+               (CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+                    * (CAST(sq AS DOUBLE) / n)) / 10000.0 AS var_qty,
+               (CAST(sqd AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+                    * (CAST(sd AS DOUBLE) / n))
+               / sqrt((CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n)
+                           * (CAST(sq AS DOUBLE) / n))
+                      * (CAST(sdd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n)
+                           * (CAST(sd AS DOUBLE) / n))) AS corr_qd
+        FROM sums
+    """,
+    doc="Statistical moments (mean/variance/correlation) computed from "
+    "exact integer power sums — order-insensitive under any parallelism, "
+    "unlike naive float sum-of-products, so even corr() is oracle-exact. "
+    "The pattern for deterministic stats at 100 TB.",
+    tags=("agg", "stats"),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    d = F.round(F.col("l_discount") * 10000.0, 0).cast("long")
+    sums = li.select(F.col("l_returnflag"), q.alias("q"), d.alias("d")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+    )
+    n = F.col("n")
+    mq = F.col("sq").cast("double") / n
+    md = F.col("sd").cast("double") / n
+    vq = F.col("sqq").cast("double") / n - mq * mq
+    vd = F.col("sdd").cast("double") / n - md * md
+    cov = F.col("sqd").cast("double") / n - mq * md
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (mq / F.lit(100.0)).alias("mean_qty"),
+        (vq / F.lit(10000.0)).alias("var_qty"),
+        (cov / F.sqrt(vq * vd)).alias("corr_qd"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # seeded RNG streams are engine-specific → rows-only
+    doc="Stratified sampling per returnflag (seeded sampleBy) — the "
+    "corpus-mixing primitive of a training-data pipeline; sampling "
+    "fractions are pytest-asserted within binomial bounds.",
+    tags=("sample",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", fractions={"A": 0.5, "N": 0.1, "R": 0.25}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")

@@ -47,3 +47,12 @@ def test_ivf_recall_vs_brute_force(spark):
     assert 0 in ivf  # the query vector always finds itself (cosine 1.0)
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall} ({exact=} {ivf=})"
+
+
+def test_classifier_separable_target(spark):
+    row = (
+        registry.all_specs()["ml_classifier_eval"].builder(spark, SF).collect()[0]
+    )
+    assert row.n_train + row.n_test == 500
+    assert row.accuracy >= 0.9, row
+    assert row.auc >= 0.95, row
