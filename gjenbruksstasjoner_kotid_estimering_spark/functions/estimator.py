@@ -56,27 +56,34 @@ MAX_METERS = max(y for _, y in POINTS)  # 139.4 (estimate_queue.py:136)
 _SENTINEL_X = 1.0e300
 
 
-def segments() -> list[tuple[float, float, float, float]]:
+def segments(
+    points: list[tuple[float, float]] | None = None,
+) -> list[tuple[float, float, float, float]]:
     """Calibration intervals [x1, x2) as (x1, y1, x2, y2), sentinel-padded.
 
     Covers the whole real line: (-BIG, first] ∪ interior ∪ [last, +BIG), so
     the range join is total and the linear blend reproduces np.interp's
     clamp-at-ends semantics (np.interp: below first x → first y, above last
-    → last y).
+    → last y). ``points`` defaults to the Haraldrud calibration; any
+    strictly-increasing point set works (property-tested vs np.interp).
     """
-    first_x, first_y = POINTS[0]
-    last_x, last_y = POINTS[-1]
+    pts = POINTS if points is None else points
+    first_x, first_y = pts[0]
+    last_x, last_y = pts[-1]
     segs = [(-_SENTINEL_X, first_y, first_x, first_y)]
-    for (x1, y1), (x2, y2) in zip(POINTS, POINTS[1:]):
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
         segs.append((x1, y1, x2, y2))
     segs.append((last_x, last_y, _SENTINEL_X, last_y))
     return segs
 
 
-def segments_df(spark: SparkSession) -> DataFrame:
+def segments_df(
+    spark: SparkSession, points: list[tuple[float, float]] | None = None
+) -> DataFrame:
     """The segment table as a (broadcastable) DataFrame."""
     return spark.createDataFrame(
-        segments(), schema="seg_x1 double, seg_y1 double, seg_x2 double, seg_y2 double"
+        segments(points),
+        schema="seg_x1 double, seg_y1 double, seg_x2 double, seg_y2 double",
     )
 
 
@@ -108,13 +115,14 @@ def with_interp(
     spark: SparkSession,
     x_col: str = "x_pos",
     out_col: str = "meters_interp",
+    points: list[tuple[float, float]] | None = None,
 ) -> DataFrame:
-    """Append np.interp(x, POINTS) as ``out_col`` via a broadcast range join.
+    """Append np.interp(x, points) as ``out_col`` via a broadcast range join.
 
     Each input row matches exactly one segment (intervals partition the real
     line), so row count is preserved.
     """
-    seg = F.broadcast(segments_df(spark))
+    seg = F.broadcast(segments_df(spark, points))
     x = F.col(x_col)
     joined = df.join(seg, (x >= F.col("seg_x1")) & (x < F.col("seg_x2")), "inner")
     blend = F.col("seg_y1") + (x - F.col("seg_x1")) * (

@@ -105,3 +105,80 @@ def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+def _sink_shape_oracle() -> str:
+    from ..functions import estimator as est
+    from .asof_interp import _PRED_SQL
+
+    arms = "\n        UNION ALL\n".join(
+        f"""
+        SELECT station_id,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '.0' AS ts_key,
+               '{m}' AS metric,
+               CAST(CAST(CAST({c} AS VARCHAR) AS DECIMAL(38,18)) AS VARCHAR)
+                 AS metric_value
+        FROM est"""
+        for m, c in [
+            ("queue_end_pos", "x_pos"),
+            ("queue_lanes", "lanes"),
+            ("queue_full", "queue_full"),
+            ("cars", "cars"),
+            ("expected_queue_time", "expected_queue_time"),
+        ]
+    )
+    return f"WITH est AS ({est.estimator_sql(_PRED_SQL)}) {arms}"
+
+
+@register(
+    "upsert_sink_shape",
+    oracle=_sink_shape_oracle(),
+    doc="The DynamoDB record shape at the sink boundary (reference "
+    "estimate_queue.py:166-178 + conftest.py:12-21): one row per "
+    "(station_id, str(epoch) RANGE key, metric) with the value passed "
+    "through Decimal(38,18) exactly as the reference converts via "
+    "Decimal(str(v)) — melt of the estimator output keyed like the "
+    "reference's update_item.",
+    tags=("upsert", "sink", "decimal"),
+)
+def upsert_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof_interp import queue_estimate
+
+    est_df = queue_estimate(spark, sf_dir)
+    melted = est_df.select(
+        "station_id",
+        F.concat(
+            F.unix_timestamp("ts").cast("string"), F.lit(".0")
+        ).alias("ts_key"),
+        F.col("x_pos").alias("queue_end_pos"),
+        F.col("lanes").alias("queue_lanes"),
+        "queue_full",
+        "cars",
+        "expected_queue_time",
+    ).unpivot(
+        ids=["station_id", "ts_key"],
+        values=[
+            "queue_end_pos",
+            "queue_lanes",
+            "queue_full",
+            "cars",
+            "expected_queue_time",
+        ],
+        variableColumnName="metric",
+        valueColumnName="_raw",
+    )
+    # Decimal(str(v)) exactly as the reference (estimate_queue.py:176):
+    # shortest-repr string → exact decimal parse. The record carries the
+    # decimal's canonical string (what the DynamoDB item stores) — a
+    # decimal→double back-cast would round through int128/10^18 with
+    # engine-specific error, so the decimal itself is the compared value.
+    return melted.select(
+        "station_id",
+        "ts_key",
+        "metric",
+        F.col("_raw")
+        .cast("string")
+        .cast("decimal(38,18)")
+        .cast("string")
+        .alias("metric_value"),
+    )

@@ -100,3 +100,65 @@ def test_lanes_rounding(spark):
     }
     assert lanes[0.0] == 1.0 and lanes[0.4] == 1.0
     assert lanes[1.0] == 2.0 and lanes[0.6] == 2.0
+
+
+def test_interp_random_point_sets_hypothesis(spark):
+    """Interp join ≡ np.interp on arbitrary strictly-increasing point sets
+    (hypothesis; SURVEY.md §5 property-test requirement). One Spark job per
+    example is slow, so examples are few but each covers many probes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        xs=st.lists(
+            st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=8, unique=True
+        ),
+        ys=st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False), min_size=8, max_size=8
+        ),
+        probes=st.lists(
+            st.floats(-2e4, 2e4, allow_nan=False), min_size=1, max_size=40
+        ),
+    )
+    def check(xs, ys, probes):
+        import numpy as np
+        from gjenbruksstasjoner_kotid_estimering_spark.functions import (
+            estimator as est,
+        )
+
+        pts = sorted(zip(xs, ys[: len(xs)]))
+        df = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(probes)],
+            schema="i long, x_pos double",
+        )
+        out = est.with_interp(df, spark, points=pts).orderBy("i").collect()
+        got = np.array([r.meters_interp for r in out])
+        expected = np.interp(
+            np.array(probes), [p[0] for p in pts], [p[1] for p in pts]
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-9)
+
+    check()
+
+
+def test_reference_golden_feature_fixture():
+    """Parity with the reference's golden preprocess output
+    (test/data/processed_image.bin: pickled float32[58368], values ≥ 0 —
+    estimate_queue_test.py:48-52). Read-only fixture check."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    path = "/root/reference/test/data/processed_image.bin"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference fixture not present")
+    with open(path, "rb") as f:
+        arr = pickle.load(f)
+    arr = np.asarray(arr)
+    assert arr.dtype == np.float32
+    assert arr.shape == (58368,)
+    assert float(arr.min()) >= 0.0
+    assert 5.0 < float(arr.max()) < 20.0
