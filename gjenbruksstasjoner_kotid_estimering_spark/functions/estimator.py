@@ -103,10 +103,17 @@ def segments_values_sql(alias: str = "seg") -> str:
 
 
 def blend_sql(x_expr: str, alias: str = "seg") -> str:
-    """Linear blend formula (same op order as :func:`with_interp`)."""
+    """Linear blend formula (same op order as :func:`with_interp`).
+
+    The x == x1 knot case returns y1 directly: for degenerate (subnormal-
+    width) segments the slope overflows to inf and 0·inf would be NaN where
+    np.interp returns the knot value — a no-op for sane geometry.
+    """
     return (
-        f"{alias}.seg_y1 + ({x_expr} - {alias}.seg_x1) * "
-        f"(({alias}.seg_y2 - {alias}.seg_y1) / ({alias}.seg_x2 - {alias}.seg_x1))"
+        f"CASE WHEN {x_expr} = {alias}.seg_x1 THEN {alias}.seg_y1 "
+        f"ELSE {alias}.seg_y1 + ({x_expr} - {alias}.seg_x1) * "
+        f"(({alias}.seg_y2 - {alias}.seg_y1) / ({alias}.seg_x2 - {alias}.seg_x1)) "
+        f"END"
     )
 
 
@@ -125,8 +132,12 @@ def with_interp(
     seg = F.broadcast(segments_df(spark, points))
     x = F.col(x_col)
     joined = df.join(seg, (x >= F.col("seg_x1")) & (x < F.col("seg_x2")), "inner")
-    blend = F.col("seg_y1") + (x - F.col("seg_x1")) * (
-        (F.col("seg_y2") - F.col("seg_y1")) / (F.col("seg_x2") - F.col("seg_x1"))
+    # knot guard mirrors blend_sql: exact y1 at x == x1 even when a
+    # degenerate segment's slope overflows (0·inf would be NaN)
+    blend = F.when(x == F.col("seg_x1"), F.col("seg_y1")).otherwise(
+        F.col("seg_y1")
+        + (x - F.col("seg_x1"))
+        * ((F.col("seg_y2") - F.col("seg_y1")) / (F.col("seg_x2") - F.col("seg_x1")))
     )
     return joined.withColumn(out_col, blend).drop(
         "seg_x1", "seg_y1", "seg_x2", "seg_y2"

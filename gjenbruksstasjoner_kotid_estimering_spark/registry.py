@@ -57,7 +57,16 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .plans import aggregates, joins, relational, setops, text, windows  # noqa: F401
-    from .operators import asof_interp, dedup, similarity, udaf, udtf, upsert  # noqa: F401
+    from .operators import (  # noqa: F401
+        asof_interp,
+        clusters,
+        dedup,
+        similarity,
+        skew,
+        udaf,
+        udtf,
+        upsert,
+    )
     from .streaming import windows as stream_windows  # noqa: F401
     from .ml import models  # noqa: F401
 

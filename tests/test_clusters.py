@@ -1,0 +1,43 @@
+"""Connected-components / near-dup clustering invariants."""
+
+from __future__ import annotations
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+from gjenbruksstasjoner_kotid_estimering_spark.operators.clusters import (
+    connected_components,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_connected_components_known_graph(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated-from-edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], schema="doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_are_transitive_closure(spark):
+    # a component label must equal the min over the whole component, even
+    # through long chains (diameter > 1 iteration)
+    chain = [(i, i + 1) for i in range(0, 12)]
+    edges = spark.createDataFrame(chain, schema="doc_a long, doc_b long")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_invariants(spark):
+    rows = registry.all_specs()["dedup_clusters"].builder(spark, SF).collect()
+    assert rows  # minhash finds candidates in this corpus
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        ids = sorted(m.doc_id for m in members)
+        assert comp == ids[0]  # label == min member
+        reps = [m for m in members if m.is_representative]
+        assert len(reps) == 1 and reps[0].doc_id == comp

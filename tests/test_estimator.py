@@ -106,12 +106,15 @@ def test_interp_random_point_sets_hypothesis(spark):
     """Interp join ≡ np.interp on arbitrary strictly-increasing point sets
     (hypothesis; SURVEY.md §5 property-test requirement). One Spark job per
     example is slow, so examples are few but each covers many probes."""
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import assume, given, settings, strategies as st
 
     @settings(max_examples=5, deadline=None)
     @given(
         xs=st.lists(
-            st.floats(-1e4, 1e4, allow_nan=False), min_size=2, max_size=8, unique=True
+            st.floats(-1e4, 1e4, allow_nan=False, allow_subnormal=False),
+            min_size=2,
+            max_size=8,
+            unique=True,
         ),
         ys=st.lists(
             st.floats(-1e3, 1e3, allow_nan=False), min_size=8, max_size=8
@@ -127,6 +130,9 @@ def test_interp_random_point_sets_hypothesis(spark):
         )
 
         pts = sorted(zip(xs, ys[: len(xs)]))
+        # well-separated knots: a subnormal-width segment overflows the
+        # slope in both engines and np.interp's NaN behavior is its own
+        assume(all(b[0] - a[0] > 1e-6 for a, b in zip(pts, pts[1:])))
         df = spark.createDataFrame(
             [(i, float(x)) for i, x in enumerate(probes)],
             schema="i long, x_pos double",
