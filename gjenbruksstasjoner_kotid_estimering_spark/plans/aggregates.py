@@ -383,3 +383,28 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", fractions={"A": 0.5, "N": 0.1, "R": 0.25}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                 AS types_seen,
+               CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Collection aggregate: the set of event types per station as a "
+    "canonical sorted joined string — collect_set is unordered by "
+    "definition, so the canonical form (sort + join) is what's comparable "
+    "(and what's safe to hash downstream).",
+    tags=("agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types_seen"),
+        F.size(types).alias("n_types"),
+    )

@@ -494,3 +494,39 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.unix_timestamp("ts").alias("epoch_s"),
     )
+
+
+@register(
+    "try_funcs",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+               TRY_CAST(event_type AS BIGINT) AS not_a_number,
+               TRY_CAST(substring(event_type, 1, 1) AS BIGINT) AS first_char_num,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+                    THEN NULL
+                    ELSE CAST(round(value * 100.0, 0) AS BIGINT)
+                         / CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS cents_per_k
+        FROM events
+    """,
+    doc="Error-tolerant casts: try_cast yields NULL instead of failing the "
+    "batch (the set-oriented analog of the reference's raise-on-malformed, "
+    "estimate_queue.py:53-59), plus guarded division.",
+    tags=("cast", "null"),
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    return ev.select(
+        "event_id",
+        k.try_cast("bigint").alias("k_ok"),
+        F.col("event_type").try_cast("bigint").alias("not_a_number"),
+        F.substring("event_type", 1, 1).try_cast("bigint").alias(
+            "first_char_num"
+        ),
+        F.when(k.cast("bigint") == 0, F.lit(None).cast("double"))
+        .otherwise(cents / k.cast("bigint"))
+        .alias("cents_per_k"),
+    )

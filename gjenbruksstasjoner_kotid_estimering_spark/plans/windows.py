@@ -278,3 +278,39 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+        SELECT event_id, user_id, value,
+               first_value(value) OVER w AS first_v,
+               last_value(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS last_v,
+               nth_value(value, 3) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS third_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="first_value/last_value/nth_value over the station time series — "
+    "the boundary-reading analytics of the as-of family; last/nth use the "
+    "full-partition frame (the default running frame would make them "
+    "trivially equal to the current row).",
+    tags=("window", "analytic"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    running = W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = running.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value").over(running).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 3).over(full).alias("third_v"),
+    )
