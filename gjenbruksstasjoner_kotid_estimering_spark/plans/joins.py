@@ -175,3 +175,69 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets,
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
     ).select("event_id", "value", "bucket_label")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               c.n_cust, s.n_supp
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="Full outer join of two pre-aggregated sides (customer vs supplier "
+    "presence per nation) — rows survive from either side, NULL-filled on "
+    "the other.",
+    tags=("join", "outer", "full"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT max(o_totalprice) FROM orders)
+                 AS price_fraction,
+               o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.9
+                 AS near_top
+        FROM orders
+    """,
+    doc="Scalar subquery in the projection (normalize by the corpus max — "
+    "max is order-insensitive-exact, unlike avg): Catalyst executes the "
+    "subquery once and broadcasts the scalar.",
+    tags=("join", "subquery"),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT max(o_totalprice) FROM _orders_sq)
+                 AS price_fraction,
+               o_totalprice >= (SELECT max(o_totalprice) FROM _orders_sq) * 0.9
+                 AS near_top
+        FROM _orders_sq
+        """
+    )

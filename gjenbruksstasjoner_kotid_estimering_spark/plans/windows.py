@@ -314,3 +314,45 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(full).alias("last_v"),
         F.nth_value("value", 3).over(full).alias("third_v"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                          CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_id, user_id, epoch_s,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY epoch_s
+                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cents_10m,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10m
+        FROM e
+    """,
+    doc="RANGE-framed window: per-station trailing 10-minute totals by "
+    "VALUE distance on the epoch axis (rows at equal epoch share a frame — "
+    "RANGE, unlike ROWS, is tie-stable so no unique tiebreaker is needed).",
+    tags=("window", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("_cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-600, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.sum("_cents").over(w).alias("cents_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )
