@@ -221,3 +221,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, simhash): 64-bit SimHash via explode + bit-vote
+    aggregation.
+
+    Every token hashes once (explode → one row per token); each of the 64
+    bit positions aggregates +1/-1 votes with a map-side-combinable
+    conditional sum (bit positions are Python ints — shiftright's shift
+    amount must be a literal); the sign vector packs into one BIGINT.
+    This is also the scale shape: one shuffle on the doc id, no per-row
+    64-wide array state.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    ).withColumn("_th", F.xxhash64("_tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_th"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # fingerprint bits are hash-engine-specific → rows-only
+    doc="SimHash near-dup candidates over documents: 64-bit bit-vote "
+    "fingerprint per doc (single fold, JVM-side), 4×16-bit band bucketing "
+    "(hamming ≤ 3 pairs must share a band), exact hamming filter via "
+    "bit_count(xor) ≤ 6 on bucket-local pairs. Invariants pytest-checked "
+    "(identical docs hamming 0; near-identical small; unrelated large).",
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_df(d)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    # shift amounts must be Python literals → bands unrolled
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -72,3 +72,30 @@ def test_near_dup_docs_mostly_agree(spark):
     }
     agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
     assert agree >= 8  # 16 hashes, high-Jaccard pair
+
+
+def test_simhash_invariants(spark):
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.dedup import (
+        simhash_df,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).split()
+    variant = list(base)
+    variant[7] = "CHANGED"
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base)),          # identical
+            (3, " ".join(variant)),       # near-identical
+            (4, "utterly different content nothing shared at all here folks"),
+        ],
+        schema="doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_df(df).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert sigs[1] == sigs[2]
+    assert hamming(sigs[1], sigs[3]) <= 12   # near-dup: small distance
+    assert hamming(sigs[1], sigs[4]) >= 16   # unrelated: large distance
