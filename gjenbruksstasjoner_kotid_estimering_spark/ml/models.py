@@ -226,3 +226,40 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(train.count(), test.count(), float(acc), float(auc))],
         schema="n_train long, n_test long, accuracy double, auc double",
     )
+
+
+@register(
+    "text_tfidf",
+    oracle=None,  # hashed feature space is engine-specific → rows-only
+    doc="TF-IDF featurization as an MLlib Pipeline (Tokenizer → HashingTF "
+    "2^12 → IDF): per-doc sparse vector summarized as (nnz, l2 norm, max "
+    "weight). IDF downweighting of ubiquitous tokens is pytest-asserted. "
+    "SURVEY.md §2 text-analysis row's tf-idf path.",
+    tags=("ml", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="_toks"),
+            HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=1 << 12),
+            IDF(inputCol="_tf", outputCol="_tfidf"),
+        ]
+    )
+    fitted = pipe.fit(d)
+    out = fitted.transform(d)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("_tfidf")
+    nonzero = F.filter(arr, lambda x: x != 0.0)
+    return out.select(
+        "doc_id",
+        F.size(nonzero).alias("nnz"),
+        F.sqrt(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("l2_norm"),
+        F.array_max(arr).alias("max_weight"),
+    )

@@ -56,3 +56,37 @@ def test_classifier_separable_target(spark):
     assert row.n_train + row.n_test == 500
     assert row.accuracy >= 0.9, row
     assert row.auc >= 0.95, row
+
+
+def test_tfidf_downweights_ubiquitous_tokens(spark):
+    df = registry.all_specs()["text_tfidf"].builder(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r.nnz > 0
+        assert r.l2_norm > 0.0
+    # a token present in EVERY doc gets IDF log((n+1)/(n+1)) = 0: build a
+    # tiny corpus to check the invariant directly
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    tiny = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma")],
+        schema="doc_id long, text string",
+    )
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="_toks"),
+            HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=64),
+            IDF(inputCol="_tf", outputCol="_tfidf"),
+        ]
+    )
+    out = pipe.fit(tiny).transform(tiny)
+    arrs = [r.a for r in out.select(vector_to_array("_tfidf").alias("a")).collect()]
+    # 'common' hashes to the same bucket in every doc; its idf is 0 → its
+    # weight vanishes while the unique token keeps positive weight
+    for a in arrs:
+        positive = [v for v in a if v > 0]
+        assert len(positive) == 1
