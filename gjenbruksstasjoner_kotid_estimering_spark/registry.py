@@ -56,7 +56,15 @@ def register(
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .plans import aggregates, joins, relational, setops, text, windows  # noqa: F401
+    from .plans import (  # noqa: F401
+        aggregates,
+        corpus,
+        joins,
+        relational,
+        setops,
+        text,
+        windows,
+    )
     from .operators import (  # noqa: F401
         asof_interp,
         clusters,

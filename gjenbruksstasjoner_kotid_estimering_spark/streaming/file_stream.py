@@ -97,3 +97,29 @@ def run_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def error_followup_join(events: DataFrame) -> DataFrame:
+    """Stream-stream join: pair each 'error' event with same-station events
+    in the following 10 minutes (did the queue react?). Both sides carry
+    watermarks so the join state is bounded — the streaming form of the
+    bounded-interval self-join."""
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+            F.col("value").alias("err_value"),
+        )
+        .withWatermark("err_ts", "30 minutes")
+    )
+    others = events.select(
+        "user_id", "ts", "event_id", "value"
+    ).withWatermark("ts", "30 minutes")
+    return errors.join(
+        others,
+        (F.col("err_user") == F.col("user_id"))
+        & (F.col("ts") > F.col("err_ts"))
+        & (F.col("ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )

@@ -168,3 +168,54 @@ def test_reference_golden_feature_fixture():
     assert arr.shape == (58368,)
     assert float(arr.min()) >= 0.0
     assert 5.0 < float(arr.max()) < 20.0
+
+
+def test_estimator_chain_vs_python_spec(spark):
+    """Whole estimator chain ≡ a direct Python transcription of the spec
+    (reference estimate_queue.py:91-163 semantics) over random inputs.
+    queue_lanes/queue_full stay in [0,1] per the reference's own asserts
+    (estimate_queue.py:128-133), queue_end_pos unconstrained."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 400
+    end_pos = np.concatenate(
+        [
+            rng.uniform(-500, 1500, n - 6),
+            np.array([0.0, 300.0, 300.0001, 33.0, 1117.0, -1.0]),
+        ]
+    )
+    lanes_p = rng.uniform(0.0, 1.0, n)
+    full_p = rng.uniform(0.0, 1.0, n)
+
+    px = [x for x, _ in est.POINTS]
+    py = [y for _, y in est.POINTS]
+
+    def spec(e, lp, fp):
+        x = max(float(e), 0.0)
+        lanes = round(lp + 1.0)
+        meters = max(py) if fp > 0.9 else float(np.interp(x, px, py))
+        meters *= lanes
+        if x > 300.0:
+            meters += 34.0
+        else:
+            meters = 0.0
+        cars = meters * 0.13
+        return cars, cars / 74.0
+
+    df = spark.createDataFrame(
+        [
+            (i, float(e), float(lp), float(fp))
+            for i, (e, lp, fp) in enumerate(zip(end_pos, lanes_p, full_p))
+        ],
+        schema="i long, queue_end_pos double, queue_lanes double, queue_full double",
+    )
+    got = {r.i: r for r in est.with_queue_estimate(df, spark).collect()}
+    for i, (e, lp, fp) in enumerate(zip(end_pos, lanes_p, full_p)):
+        cars, hours = spec(e, lp, fp)
+        assert got[i].cars == pytest.approx(cars, rel=1e-12, abs=1e-12), (
+            i, e, lp, fp, got[i].cars, cars,
+        )
+        assert got[i].expected_queue_time == pytest.approx(
+            hours, rel=1e-12, abs=1e-12
+        )

@@ -76,3 +76,32 @@ def test_session_windows_respect_gap(spark):
         for a, b in zip(sessions, sessions[1:]):
             gap = (b.session_start - a.session_end).total_seconds()
             assert gap >= 0  # non-overlapping, gap-separated
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Bounded-interval stream-stream self-join drains and matches the
+    batch equivalent."""
+    joined = fs.error_followup_join(fs.read_events_stream(spark, SF))
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out")).count()
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+    ev = load_table(spark, SF, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    batch = errors.join(
+        ev,
+        (F.col("err_user") == F.col("user_id"))
+        & (F.col("ts") > F.col("err_ts"))
+        & (F.col("ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).count()
+    assert got == batch > 0
