@@ -356,3 +356,67 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_cents").over(w).alias("cents_10m"),
         F.count(F.lit(1)).over(w).alias("n_10m"),
     )
+
+
+@register(
+    "array_predicates",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_gt2,
+               len(list_filter(embedding, x -> x > -10.0)) = len(embedding)
+                 AS all_gt_neg10,
+               CAST(len(list_filter(embedding, x -> x < 0.0)) AS INT)
+                 AS n_negative,
+               list_aggregate(list_transform(embedding[1:4],
+                   (x, i) -> CAST(x AS DOUBLE) * CAST(i AS DOUBLE)), 'sum')
+                 AS weighted_head
+        FROM embeddings
+    """,
+    doc="Higher-order array predicates: exists / forall / filtered count / "
+    "indexed zip-fold over the embedding vectors — the expression-level "
+    "toolkit the similarity and dedup lanes are built from.",
+    tags=("array", "hof"),
+)
+def array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head = F.slice(emb, 1, 4)
+    idx = F.sequence(F.lit(1), F.size(head))
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 2.0).alias("any_gt2"),
+        F.forall(emb, lambda x: x > -10.0).alias("all_gt_neg10"),
+        F.size(F.filter(emb, lambda x: x < 0.0)).alias("n_negative"),
+        F.aggregate(
+            F.zip_with(
+                head, idx, lambda x, i: x.cast("double") * i.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("weighted_head"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(value) AS lo,
+               max(value) AS hi
+        FROM events
+        GROUP BY CAST(floor(value / 50.0) AS BIGINT)
+    """,
+    doc="Equi-width histogram binning (floor-divide bucketing + grouped "
+    "counts) — the distribution profile a pipeline computes before "
+    "choosing sampling thresholds.",
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
