@@ -530,3 +530,27 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(cents / k.cast("bigint"))
         .alias("cents_per_k"),
     )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_valid(props) AS is_valid
+        FROM events
+    """,
+    doc="Typed JSON parsing: from_json with an explicit schema → struct "
+    "field access (vs json_extract's stringly path) + validity probe. At "
+    "scale an explicit schema beats per-row path evaluation for multi-"
+    "field payloads.",
+    tags=("json", "struct"),
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
+    )
