@@ -241,3 +241,23 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _orders_sq
         """
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT n.n_name, c.c_custkey, c.c_name
+        FROM customer c
+        RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Right outer join preserving every nation (including customer-less "
+    "ones, NULL-filled left side) — completes the left/right/full outer "
+    "row of SURVEY §2.",
+    tags=("join", "outer", "right"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select(
+        "n_name", "c_custkey", "c_name"
+    )

@@ -420,3 +420,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               'status,priority' AS m_keys,
+               concat(o_orderstatus, ',', o_orderpriority) AS m_values,
+               o_orderstatus AS status_val,
+               2 AS m_size,
+               concat(o_orderstatus, '|', CAST(o_orderkey AS VARCHAR))
+                 AS merged_probe
+        FROM orders
+    """,
+    doc="Map surface: map_from_arrays construction, map_keys/map_values "
+    "(canonical joined form), element access, map_concat — the engine's "
+    "key-value column toolkit (the reference's prediction dict, "
+    "estimate_queue.py:85-88). Oracle states equivalent flat values since "
+    "map internals are engine-specific.",
+    tags=("map",),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    merged = F.map_concat(
+        F.create_map(F.lit("id"), F.col("o_orderkey").cast("string")), m
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_values"),
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).alias("m_size"),
+        F.concat_ws(
+            "|", F.element_at(merged, "status"), F.element_at(merged, "id")
+        ).alias("merged_probe"),
+    )
