@@ -70,3 +70,26 @@ def test_pipeline_end_to_end(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 4
     assert set(back.columns) == {"path", "station_id", "epoch", "features"}
+
+
+def test_reference_camera_frame_through_lane(spark, tmp_path):
+    """Run the reference's actual test fixture frame
+    (test/data/station_id_41_20200506T094000.jpg, 1280x240 camera image)
+    through the Spark lane: metadata parse must hit the golden epoch and
+    features must be deterministic."""
+    import shutil
+    import os
+
+    src = "/root/reference/test/data/station_id_41_20200506T094000.jpg"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture not present")
+    shutil.copy(src, tmp_path / "station_id_41_20200506T094000.jpg")
+    feats = im.preprocess_images(im.read_images(spark, str(tmp_path)))
+    rows = feats.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.station_id == 41
+    assert r.epoch == 1588750800
+    assert len(r.features) == im.FEATURE_LEN
+    again = im.preprocess_images(im.read_images(spark, str(tmp_path))).collect()[0]
+    assert list(r.features) == list(again.features)
