@@ -90,3 +90,23 @@ def _grouped_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 def udaf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     return ev.groupBy("user_id").applyInPandas(_grouped_stats, schema=_SCHEMA)
+
+
+@register(
+    "agg_approx_quantile",
+    oracle=None,  # sketch-based → rows-only; bounds pytest-checked
+    doc="approx_percentile (t-digest-style sketch): the built-in 100 TB "
+    "path for quantiles — one pass, mergeable state, no per-group "
+    "materialization; the exact quantiles live in udaf_grouped_stats. "
+    "Error bounds vs exact are pytest-asserted.",
+    tags=("agg", "approx", "quantile"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -47,3 +47,21 @@ def test_entry_contract(spark):
     oracles = E.oracle_sql()
     queries = E.queries()
     assert set(oracles) <= set(queries)
+
+
+def test_approx_quantile_close_to_exact(spark):
+    approx = {
+        r.user_id: r.approx_median
+        for r in registry.all_specs()["agg_approx_quantile"]
+        .builder(spark, SF)
+        .collect()
+    }
+    exact = {
+        r.user_id: r.median_value
+        for r in registry.all_specs()["udaf_grouped_stats"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for uid in approx:
+        assert abs(approx[uid] - exact[uid]) / max(exact[uid], 1.0) < 0.05

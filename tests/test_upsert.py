@@ -53,3 +53,34 @@ def test_latest_per_key_tiebreak(spark):
     # equal ts: the later order col (here v) breaks the tie deterministically
     out = latest_per_key(df, key_cols=["k"], order_cols=["ts", "v"]).collect()
     assert len(out) == 1 and out[0].v == 200.0
+
+
+def test_random_upsert_replay_matches_dict(spark):
+    """apply_upserts over random batched write sequences == a Python dict
+    replay (the DynamoDB last-write-wins model, estimate_queue.py:166-178)."""
+    import random
+
+    rng = random.Random(13)
+    writes = [
+        (rng.randrange(5), str(rng.randrange(3)), rng.random(), seq)
+        for seq in range(200)
+    ]
+    expected: dict = {}
+    for sid, ts, v, seq in writes:
+        expected[(sid, ts)] = v
+
+    schema = "station_id long, ts string, v double, seq long"
+    target = spark.createDataFrame([], schema)
+    # apply in 4 uneven batches, like micro-batches arriving
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.upsert import (
+        apply_upserts,
+    )
+
+    bounds = [0, 37, 100, 151, 200]
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = spark.createDataFrame(writes[lo:hi], schema)
+        target = apply_upserts(
+            target, batch, key_cols=["station_id", "ts"], order_cols=["seq"]
+        ).localCheckpoint(eager=True)  # fix lineage between batches
+    got = {(r.station_id, r.ts): r.v for r in target.collect()}
+    assert got == expected
