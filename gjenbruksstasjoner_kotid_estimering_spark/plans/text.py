@@ -208,3 +208,53 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tx.token_count_col(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+        WITH expanded AS (
+          SELECT doc_id,
+                 unnest(list_transform(string_split(text, ' '),
+                        (x, i) -> struct_pack(pos := i, tok := x))) AS u
+          FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tok AS token
+        FROM expanded
+    """,
+    doc="posexplode: token stream with ordinal positions (0-based like "
+    "Spark's posexplode; the oracle's lambda index is 1-based) — the "
+    "position-aware fanout sequence models need for positional features.",
+    tags=("explode", "text"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+
+
+@register(
+    "regex_extract_all_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT)
+                 AS n_a_words,
+               array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*')[1:5],
+                               ',') AS first_a_words
+        FROM documents
+    """,
+    doc="regexp_extract_all: every match materialized as an array (count + "
+    "canonical joined head) — the multi-match sibling of regexp_extract "
+    "(reference estimate_queue.py:38 extracts single groups).",
+    tags=("string", "regex"),
+)
+def regex_extract_all_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)
+    return d.select(
+        "doc_id",
+        F.size(matches).alias("n_a_words"),
+        F.array_join(F.slice(matches, 1, 5), ",").alias("first_a_words"),
+    )
