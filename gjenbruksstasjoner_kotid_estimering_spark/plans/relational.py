@@ -554,3 +554,34 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
     )
+
+
+@register(
+    "string_funcs2",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+               repeat(substring(c_mktsegment, 1, 1), 3) AS tripled_initial,
+               reverse(c_name) AS name_reversed,
+               levenshtein(c_name, 'Customer#000000000') AS edit_dist
+        FROM customer
+    """,
+    doc="String surface 2: lpad (the reference's zero-padded id scheme, "
+    "c_name/test fixtures), translate, repeat, reverse, and levenshtein — "
+    "the edit-distance primitive behind fuzzy matching (both engines "
+    "implement the classic Wagner-Fischer distance).",
+    tags=("string",),
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("tripled_initial"),
+        F.reverse("c_name").alias("name_reversed"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias(
+            "edit_dist"
+        ),
+    )
