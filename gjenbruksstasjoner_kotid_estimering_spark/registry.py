@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational,
         setops,
         text,
+        tpch,
         windows,
     )
     from .operators import (  # noqa: F401
