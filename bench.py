@@ -5,6 +5,12 @@ Runs the registered queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
+The printed line is kept compact on purpose: round 1's full 93-entry
+per-query map overflowed the driver's stdout tail capture (BENCH_r01.json
+``"parsed": null``), so the final line carries only the totals plus the 5
+slowest queries, and the full per-query timing map is written to
+``bench_full.json`` next to this script.
+
 Each query executes to completion through a ``noop`` sink — full plan runs
 (scan → shuffle → sink) without driver-side collection, which is what a
 cluster deployment would measure.
@@ -42,14 +48,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "full queries() sweep wall time",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "full queries() sweep wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "sf": sf_val,
             }
         )
     )
