@@ -165,68 +165,188 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate generation for the oracle-checked exact-Jaccard stage uses
+# md5-based MinHash: md5 is the one hash both Spark (F.md5) and DuckDB
+# (md5()) compute bit-identically, so the LSH banding itself is part of the
+# oracle contract — the two engines derive the SAME candidate pair set.
+# 15 hashes × 5 bands of 3 → P(candidate) = 1-(1-J³)⁵: ≥ 0.88 at J=0.7,
+# ~1.4e-4 at the J≈0.03 noise floor of the synthetic corpus.
+MH_SEEDS = 15
+MH_BANDS = 5
+MH_BAND_SIZE = 3
+JACCARD_DUP_THRESHOLD = 0.5
+
+
+def md5_minhash_sigs(grams: DataFrame, n_hashes: int = MH_SEEDS) -> DataFrame:
+    """(doc_id, bigrams) → (doc_id, h0..h{n-1}): engine-portable MinHash.
+
+    ONE md5 per shingle; the hex digest splits into two 56-bit ints
+    (hex chars 1-14 and 17-30) and the per-seed hash family is
+    h_i = h1 + i·h2 (Kirsch-Mitzenmacher double hashing — the standard
+    derivation of k hash functions from one). 56-bit halves keep
+    h1 + 14·h2 < 2^60, so the arithmetic cannot overflow in either
+    engine (Spark ANSI mode and DuckDB both raise on BIGINT overflow).
+
+    Shape: explode shingles → project (md5 once per shingle) → hash-
+    aggregate of n ``min`` columns with map-side partial mins, so the
+    per-shingle work parallelizes across cores/executors. (A per-row HOF
+    fold measured 4-8× slower — higher-order lambdas don't codegen and
+    multi-reference projections re-duplicate the fold under
+    CollapseProject; hashing per (shingle, seed) was another ~5× of
+    avoidable md5 work.)
+    """
+    exploded = grams.select("doc_id", F.explode("bigrams").alias("s"))
+    digest = F.md5(F.col("s"))
+    hashed = exploded.select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 14), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 17, 14), 16, 10).cast("long").alias("h2"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+_MH_MIN_EXPRS = ",\n                 ".join(
+    f"min(h1 + {i} * h2) AS h{i}" for i in range(MH_SEEDS)
+)
+_MH_BAND_SELECTS = "\n          UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"md5(concat_ws(',', "
+    + ", ".join(f"h{b * MH_BAND_SIZE + j}" for j in range(MH_BAND_SIZE))
+    + ")) AS band_val FROM sigs"
+    for b in range(MH_BANDS)
+)
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
-        WITH grams AS (
-          SELECT doc_id, lang, source,
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
                  list_distinct(list_filter(
-                   list_transform(string_split(text, ' '),
-                     (x, i) -> CASE WHEN i < len(string_split(text, ' '))
-                               THEN x || ' ' || string_split(text, ' ')[i + 1]
-                               END),
+                   list_transform(t,
+                     (x, i) -> CASE WHEN i < len(t)
+                               THEN x || ' ' || t[i + 1] END),
                    y -> y IS NOT NULL)) AS bigrams
-          FROM documents
+          FROM toks
+        ),
+        g AS (SELECT * FROM grams WHERE len(bigrams) > 0),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(s), 1, 14))::BIGINT AS h1,
+                 ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2
+          FROM (SELECT doc_id, unnest(bigrams) AS s FROM g)
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 {_MH_MIN_EXPRS}
+          FROM hashed GROUP BY doc_id
+        ),
+        bands AS ({_MH_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_filter(ga.bigrams,
+                          x -> list_contains(gb.bigrams, x))) AS DOUBLE)
+                 / CAST(len(ga.bigrams) + len(gb.bigrams)
+                        - len(list_filter(ga.bigrams,
+                              x -> list_contains(gb.bigrams, x))) AS DOUBLE)
+                   AS jaccard
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_filter(a.bigrams,
-                        x -> list_contains(b.bigrams, x))) AS DOUBLE)
-               / CAST(len(a.bigrams) + len(b.bigrams)
-                      - len(list_filter(a.bigrams,
-                            x -> list_contains(b.bigrams, x))) AS DOUBLE)
-                 AS jaccard
-        FROM grams a JOIN grams b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_filter(a.bigrams, x -> list_contains(b.bigrams, x))) > 0
+        SELECT doc_a, doc_b, jaccard FROM scored
+        WHERE jaccard >= {JACCARD_DUP_THRESHOLD}
     """,
-    doc="Exact n-gram (word-bigram) Jaccard similarity for doc pairs, "
-    "blocked on (lang, source) so the pair space stays bucket-local — the "
-    "exact-similarity stage that follows MinHash candidate generation at "
-    "scale. Single double division → oracle-exact.",
-    tags=("dedup", "jaccard"),
+    doc="Candidate-driven exact n-gram Jaccard dedup: md5-MinHash LSH "
+    "banding (engine-portable, so DuckDB derives the identical candidate "
+    "set) proposes pairs; exact bigram-set Jaccard is computed ONLY for "
+    "candidates and thresholded at 0.5. No quadratic self-join anywhere — "
+    "the scale shape is signature shuffle + bucket-local join + candidate-"
+    "sized scoring joins.",
+    tags=("dedup", "jaccard", "minhash", "lsh"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # Intersect 8-byte hashes, not strings: ~30% faster at sf0.1 and the
-    # right shape at scale (hash once per shingle, compare fixed-width
-    # keys). Set sizes match the oracle's string sets up to xxhash64
-    # collisions within one document's ~10² shingles (~2⁻⁵⁰ per pair).
-    grams = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.transform(shingles_col(F.col("text"), k=2), lambda s: F.xxhash64(s))
-        ).alias("bigrams"),
+    # Repartition the raw docs BEFORE shingling with an explicit count:
+    # the testdata is one parquet split, so without this every downstream
+    # higher-order-function projection (shingle build, per-shingle md5)
+    # runs in a single task; and a bare repartition(col) would be AQE-
+    # coalesced back down (the shuffle is small by bytes, but each row
+    # carries CPU work AQE's byte-based sizing can't see). The shuffle
+    # moves only raw (doc_id, text) — a few MB here, and a no-op
+    # structurally at real scale where the scan is already split.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams")))
-    union = F.size(F.col("a.bigrams")) + F.size(F.col("b.bigrams")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Filter on token count, NOT on size(bigrams): a size(bigrams)>0 filter
+    # gets predicate-pushed below the repartition and drags the whole
+    # shingle expression into the single pre-shuffle task. A k=2 shingle
+    # array is empty iff the doc has < 2 tokens — same predicate as the
+    # oracle's len(bigrams) > 0, but only a cheap split() moves below the
+    # exchange.
+    grams = d.where(F.size(tokens_col(F.col("text"))) >= 2).select(
+        "doc_id", shingles_col(F.col("text"), k=2).alias("bigrams")
+    )
+    sigs = md5_minhash_sigs(grams)
+    # Band hashes reference the h* aggregate columns directly (cheap
+    # attribute refs — no expression re-duplication under CollapseProject).
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * MH_BAND_SIZE + j}")
+                                    for j in range(MH_BAND_SIZE)
+                                ],
+                            )
+                        ).alias("band_val"),
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_val")
+    lb, rb = bands.alias("lb"), bands.alias("rb")
+    cand = (
+        lb.join(
+            rb,
+            (F.col("lb.band_id") == F.col("rb.band_id"))
+            & (F.col("lb.band_val") == F.col("rb.band_val"))
+            & (F.col("lb.doc_id") < F.col("rb.doc_id")),
         )
-        .where(inter > 0)
+        .select(F.col("lb.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.bigrams"), F.col("gb.bigrams")))
+    union = F.size(F.col("ga.bigrams")) + F.size(F.col("gb.bigrams")) - inter
+    scored = (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+    return scored.where(F.col("jaccard") >= JACCARD_DUP_THRESHOLD)
 
 
 SIMHASH_BITS = 64

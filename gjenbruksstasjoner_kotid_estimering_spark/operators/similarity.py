@@ -153,52 +153,151 @@ def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pivot-sign LSH for the oracle-checked cosine-dedup stage: the hyperplanes
+# are the N_PIVOTS lowest-vec_id embedding rows themselves (deterministic,
+# data-derived, and — unlike xxhash64-seeded planes — computable by DuckDB).
+# Each vector's bucket bits are sign(dot(v, pivot_j)); bits split into
+# PV_BANDS bands of PV_BAND_BITS, candidates share any band. Because both
+# engines evaluate the dot as the same ordered left-fold in double, the
+# sign bits — and therefore the candidate pair set — are bit-identical.
+N_PIVOTS = 40
+PV_BANDS = 5
+PV_BAND_BITS = 8
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Ordered-fold dot for already-double arrays (no re-cast)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_PV_BAND_SELECTS = "\n          UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_id, "
+    f"substring(bits, {b * PV_BAND_BITS + 1}, {PV_BAND_BITS}) AS band_val "
+    f"FROM bucketed"
+    for b in range(PV_BANDS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-        WITH emb AS (
-          SELECT vec_id, label, embedding,
-                 sqrt(list_aggregate(list_transform(embedding,
-                     (x, i) -> CAST(x AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-                     'sum')) AS norm
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
+        ),
+        pv AS (
+          SELECT list(v ORDER BY vec_id) AS pivots
+          FROM base WHERE vec_id < {N_PIVOTS}
+        ),
+        bucketed AS (
+          SELECT vec_id,
+                 array_to_string(list_transform(pivots,
+                   p -> CASE WHEN list_aggregate(
+                                list_transform(v, (x, i) -> x * p[i]),
+                                'sum') >= 0
+                        THEN '1' ELSE '0' END), '') AS bits
+          FROM base CROSS JOIN pv
+        ),
+        bands AS ({_PV_BAND_SELECTS}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id
+        ),
+        normed AS (
+          SELECT vec_id, v,
+                 sqrt(list_aggregate(list_transform(v, (x, i) -> x * v[i]),
+                      'sum')) AS norm
+          FROM base
+        ),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 list_aggregate(list_transform(a.v, (x, i) -> x * b.v[i]),
+                     'sum') / (a.norm * b.norm) AS cosine
+          FROM cand c
+          JOIN normed a ON a.vec_id = c.vec_a
+          JOIN normed b ON b.vec_id = c.vec_b
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               list_aggregate(list_transform(a.embedding,
-                   (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                   'sum') / (a.norm * b.norm) AS cosine
-        FROM emb a JOIN emb b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_aggregate(list_transform(a.embedding,
-                  (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                  'sum') / (a.norm * b.norm) > {COSINE_DUP_THRESHOLD!r}
+        SELECT vec_a, vec_b, cosine FROM scored
+        WHERE cosine > {COSINE_DUP_THRESHOLD!r}
     """,
-    doc="Embedding-cosine near-duplicate pairs, blocked on label (the "
-    "cluster/partition key a production pipeline blocks on) — exact ordered-"
-    "fold cosine per candidate pair; the all-pairs space collapses to "
-    "block-local. The unblocked scale path is similarity_pairs_lsh.",
-    tags=("dedup", "similarity", "cosine"),
+    doc="Candidate-driven embedding-cosine dedup: pivot-sign LSH (bucket "
+    "bits = sign of dot with the 40 lowest-vec_id vectors, 5 bands × 8 "
+    "bits) proposes pairs; exact ordered-fold cosine is computed ONLY for "
+    "bucket-mates and thresholded. The pivots are data-derived and both "
+    "engines fold the dot identically, so the candidate set itself is part "
+    "of the oracle contract. No block-quadratic self-join — candidates "
+    "replace the old label-blocked all-pairs.",
+    tags=("dedup", "similarity", "cosine", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select(
-        "vec_id", "label", "embedding", norm_col(F.col("embedding")).alias("norm")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot_col(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    base = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    pivots = (
+        base.where(F.col("vec_id") < N_PIVOTS)
+        .groupBy()
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("pv")
         )
+        .select(F.transform("pv", lambda s: s["v"]).alias("pivots"))
+    )
+    bits = F.array_join(
+        F.transform(
+            "pivots",
+            lambda p: F.when(_fold_dot(F.col("v"), p) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    bucketed = base.crossJoin(F.broadcast(pivots)).select(
+        "vec_id", bits.alias("bits")
+    )
+    bands = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring(
+                            "bits", b * PV_BAND_BITS + 1, PV_BAND_BITS
+                        ).alias("band_val"),
+                    )
+                    for b in range(PV_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+    lb, rb = bands.alias("lb"), bands.alias("rb")
+    cand = (
+        lb.join(
+            rb,
+            (F.col("lb.band_id") == F.col("rb.band_id"))
+            & (F.col("lb.band_val") == F.col("rb.band_val"))
+            & (F.col("lb.vec_id") < F.col("rb.vec_id")),
+        )
+        .select(F.col("lb.vec_id").alias("vec_a"), F.col("rb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    normed = base.select(
+        "vec_id", "v", F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    na, nb = normed.alias("na"), normed.alias("nb")
+    scored = (
+        cand.join(na, F.col("vec_a") == F.col("na.vec_id"))
+        .join(nb, F.col("vec_b") == F.col("nb.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cosine"),
+            "vec_a",
+            "vec_b",
+            (
+                _fold_dot(F.col("na.v"), F.col("nb.v"))
+                / (F.col("na.norm") * F.col("nb.norm"))
+            ).alias("cosine"),
         )
-        .where(F.col("cosine") > COSINE_DUP_THRESHOLD)
     )
+    return scored.where(F.col("cosine") > COSINE_DUP_THRESHOLD)

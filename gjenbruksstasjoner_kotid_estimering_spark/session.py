@@ -32,6 +32,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # Spark rejects by default; read it as long nanos and rebuild the
     # timestamp in io.load_table (micros — the corpus is µs-grained).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate adds size(e)>0 below every explode(e); when
+    # e is a computed array (shingles, token arrays) predicate pushdown
+    # drags that WHOLE expression below the upstream exchange and re-
+    # evaluates it serially in the (often single-partition) map side —
+    # measured 2-3s per query on the text lane. The filter is purely a
+    # heuristic (explode of an empty array already emits no rows), so
+    # exclude the rule; results are unchanged.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
