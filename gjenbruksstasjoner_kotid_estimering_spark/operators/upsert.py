@@ -45,36 +45,58 @@ def apply_upserts(
 
 
 def foreach_batch_upserter(
-    target_dir: str, key_cols: list[str], order_cols: list[str]
+    target_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    partition_col: str | None = None,
 ):
     """``writeStream.foreachBatch`` sink: merge each micro-batch into a
     parquet target with last-write-wins semantics — the streaming form of
     the reference's DynamoDB update_item sink (estimate_queue.py:166-178).
 
-    With a transactional table format this body becomes MERGE INTO; the
-    read-merge-overwrite here is the format-agnostic equivalent (the
-    checkpoint guarantees each batch applies exactly once).
+    Partition-scoped MERGE: the target is partitioned by ``partition_col``
+    (default: the first key column) and each micro-batch
+
+    1. collects the distinct partition values present in the batch
+       (bounded by batch size, never by target size),
+    2. reads ONLY those partitions of the target (partition pruning),
+    3. merges last-write-wins per key,
+    4. writes back under ``partitionOverwriteMode=dynamic``, which
+       replaces exactly the partitions present in the merged frame.
+
+    Untouched partitions' files are never read or rewritten — the
+    update_item semantics is per-key, not table-replace, so a micro-batch
+    must cost O(batch), not O(target). With a transactional table format
+    this body becomes MERGE INTO; the plan shape (prune → key shuffle →
+    per-key top-1 → partition-scoped commit) is the same.
     """
+    pcol = partition_col or key_cols[0]
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         spark = batch.sparkSession
+        touched = [r[0] for r in batch.select(pcol).distinct().collect()]
+        if not touched:
+            return
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         if os.path.exists(target_dir):
-            target = spark.read.parquet(target_dir)
+            # Partition values round-trip through directory names; cast the
+            # inferred partition column back to the batch's dtype so the
+            # union/window see one type.
+            target = (
+                spark.read.parquet(target_dir)
+                .withColumn(pcol, F.col(pcol).cast(batch.schema[pcol].dataType))
+                .where(F.col(pcol).isin(touched))
+            )
             merged = apply_upserts(
                 target, batch, key_cols=key_cols, order_cols=order_cols
             )
         else:  # first batch: no target yet
             merged = latest_per_key(batch, key_cols, order_cols)
-        # Never overwrite the path being read: write aside, then swap.
-        # (On an object store this whole body is a transactional MERGE.)
-        tmp = f"{target_dir.rstrip('/')}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
-        os.replace(tmp, target_dir)
+        # Break lineage before writing over the partitions just read.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(target_dir)
 
     return apply
 

@@ -84,3 +84,63 @@ def test_random_upsert_replay_matches_dict(spark):
         ).localCheckpoint(eager=True)  # fix lineage between batches
     got = {(r.station_id, r.ts): r.v for r in target.collect()}
     assert got == expected
+
+
+def test_partition_scoped_upsert_leaves_other_partitions_alone(spark, tmp_path):
+    """foreach_batch_upserter with dynamic partition overwrite must not
+    rewrite files of partitions absent from the micro-batch (VERDICT r1 #4:
+    update_item is per-key, not table-replace)."""
+    import os
+
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.upsert import (
+        foreach_batch_upserter,
+    )
+
+    target = str(tmp_path / "target")
+    sink = foreach_batch_upserter(
+        target, key_cols=["station_id", "ts"], order_cols=["seq"]
+    )
+    schema = "station_id long, ts string, v double, seq long"
+    b1 = spark.createDataFrame(
+        [(1, "t1", 1.0, 1), (1, "t2", 2.0, 2), (2, "t1", 20.0, 3)], schema
+    )
+    sink(b1, 0)
+
+    def files_of(partition: str) -> dict[str, float]:
+        d = os.path.join(target, partition)
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    p2_before = files_of("station_id=2")
+    assert p2_before, "partitioned layout expected"
+
+    # batch 2 touches only station 1
+    b2 = spark.createDataFrame([(1, "t1", 10.0, 4)], schema)
+    sink(b2, 1)
+
+    # station 2's files are byte-identical (same names, same mtimes) …
+    assert files_of("station_id=2") == p2_before
+    # … and station 1 was merged last-write-wins
+    got = {
+        (r.station_id, r.ts): r.v for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, "t1"): 10.0, (1, "t2"): 2.0, (2, "t1"): 20.0}
+
+
+def test_upserter_empty_batch_noop(spark, tmp_path):
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.upsert import (
+        foreach_batch_upserter,
+    )
+
+    target = str(tmp_path / "target")
+    sink = foreach_batch_upserter(target, key_cols=["k", "ts"], order_cols=["seq"])
+    schema = "k long, ts string, v double, seq long"
+    sink(spark.createDataFrame([], schema), 0)
+    import os
+
+    assert not os.path.exists(target)  # nothing written for an empty batch
+    sink(spark.createDataFrame([(5, "a", 1.0, 1)], schema), 1)
+    assert [r.v for r in spark.read.parquet(target).collect()] == [1.0]
