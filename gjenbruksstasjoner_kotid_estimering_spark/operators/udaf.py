@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
@@ -89,6 +90,12 @@ def _grouped_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def udaf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # Explicit repartition on the group key: AQE coalesces the small-by-
+    # bytes shuffle to ~1 partition, which would funnel every group through
+    # a single Python worker; REPARTITION_BY_NUM is exempt from coalescing
+    # and applyInPandas reuses the same hash partitioning (no extra
+    # exchange), so groups fan out across all workers.
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
     return ev.groupBy("user_id").applyInPandas(_grouped_stats, schema=_SCHEMA)
 
 

@@ -517,9 +517,21 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # Parse the JSON path ONCE in a separate projection: referencing the
+    # raw get_json_object three times in one select re-parses per
+    # reference (codegen CSE can't hoist out of `when` branches, and
+    # CollapseProject keeps the two projects apart because the alias is
+    # non-cheap and multi-referenced — verified 1 occurrence in the
+    # executed plan).
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").alias("_k"),
+    )
+    k = F.col("_k")
     cents = F.round(F.col("value") * 100.0, 0).cast("long")
-    return ev.select(
+    return parsed.select(
         "event_id",
         k.try_cast("bigint").alias("k_ok"),
         F.col("event_type").try_cast("bigint").alias("not_a_number"),
