@@ -126,18 +126,28 @@ def with_interp(
 ) -> DataFrame:
     """Append np.interp(x, points) as ``out_col`` via a broadcast range join.
 
-    Each input row matches exactly one segment (intervals partition the real
-    line), so row count is preserved.
+    Row count is preserved BY CONSTRUCTION: every finite x matches exactly
+    one segment (the sentinel-padded intervals partition the real line) and
+    the join is LEFT outer, so an x no predicate can match — NaN sorts
+    above +inf in Spark's ordering, failing ``x < seg_x2`` for every
+    segment — keeps its row and propagates NaN through ``out_col``,
+    matching np.interp(NaN) → NaN (reference estimate_queue.py:134-141)
+    instead of silently dropping the prediction.
     """
     seg = F.broadcast(segments_df(spark, points))
     x = F.col(x_col)
-    joined = df.join(seg, (x >= F.col("seg_x1")) & (x < F.col("seg_x2")), "inner")
+    joined = df.join(seg, (x >= F.col("seg_x1")) & (x < F.col("seg_x2")), "left")
     # knot guard mirrors blend_sql: exact y1 at x == x1 even when a
     # degenerate segment's slope overflows (0·inf would be NaN)
-    blend = F.when(x == F.col("seg_x1"), F.col("seg_y1")).otherwise(
-        F.col("seg_y1")
-        + (x - F.col("seg_x1"))
-        * ((F.col("seg_y2") - F.col("seg_y1")) / (F.col("seg_x2") - F.col("seg_x1")))
+    blend = F.when(F.isnan(x), F.lit(float("nan"))).otherwise(
+        F.when(x == F.col("seg_x1"), F.col("seg_y1")).otherwise(
+            F.col("seg_y1")
+            + (x - F.col("seg_x1"))
+            * (
+                (F.col("seg_y2") - F.col("seg_y1"))
+                / (F.col("seg_x2") - F.col("seg_x1"))
+            )
+        )
     )
     return joined.withColumn(out_col, blend).drop(
         "seg_x1", "seg_y1", "seg_x2", "seg_y2"

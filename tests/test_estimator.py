@@ -219,3 +219,17 @@ def test_estimator_chain_vs_python_spec(spark):
         assert got[i].expected_queue_time == pytest.approx(
             hours, rel=1e-12, abs=1e-12
         )
+
+
+def test_interp_nan_preserves_row_and_propagates(spark):
+    """A NaN x_pos must keep its row (left range join) and yield NaN, like
+    np.interp(NaN) — not silently vanish (ADVICE r1: inner-join row loss)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, float("nan")), (1, 150.0)], schema="i long, x_pos double"
+    )
+    out = {r.i: r for r in est.with_interp(df, spark).collect()}
+    assert set(out) == {0, 1}  # row count preserved by construction
+    assert math.isnan(out[0].meters_interp)
+    assert not math.isnan(out[1].meters_interp)
