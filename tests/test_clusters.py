@@ -41,3 +41,37 @@ def test_dedup_clusters_invariants(spark):
         assert comp == ids[0]  # label == min member
         reps = [m for m in members if m.is_representative]
         assert len(reps) == 1 and reps[0].doc_id == comp
+
+
+def test_star_equals_propagation_on_minhash_pairs(spark):
+    """large/small-star and plain min-label propagation must produce the
+    same clusters on the real MinHash candidate graph."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.clusters import (
+        connected_components_propagation,
+    )
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.dedup import (
+        dedup_near_minhash,
+    )
+
+    pairs = dedup_near_minhash(spark, SF).localCheckpoint(eager=True)
+    star = {r.node: r.component for r in connected_components(pairs).collect()}
+    prop = {
+        r.node: r.component
+        for r in connected_components_propagation(pairs).collect()
+    }
+    assert star == prop and star
+
+
+def test_star_converges_sublinearly_on_long_chain(spark):
+    """A 120-node chain (diameter 119) must converge in O(log n) star
+    rounds — the property plain propagation lacks (VERDICT r1 #6)."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.clusters import (
+        _connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(0, 119)]
+    edges = spark.createDataFrame(chain, schema="doc_a long, doc_b long")
+    labels, rounds = _connected_components_star(edges, "doc_a", "doc_b", 50)
+    got = {r.node: r.component for r in labels.collect()}
+    assert set(got.values()) == {0} and len(got) == 120
+    assert rounds <= 12, rounds  # log-round convergence, not diameter
