@@ -95,6 +95,29 @@ def score(models: dict[str, LinearRegressionModel], df: DataFrame) -> DataFrame:
     return df
 
 
+def save_queue_models(
+    models: dict[str, LinearRegressionModel], base_dir: str
+) -> None:
+    """Persist each head under ``base_dir/<head-name>`` — the registry-of-
+    named-model-artifacts pattern of the reference (estimate_queue.py:64-69
+    loads queue_end_pos/queue_lanes/queue_full by file name). MLlib's
+    writer stores coefficients + params as parquet, so artifacts are
+    portable across sessions/clusters."""
+    for name, model in models.items():
+        model.write().overwrite().save(f"{base_dir.rstrip('/')}/{name}")
+
+
+def load_queue_models(base_dir: str) -> dict[str, LinearRegressionModel]:
+    """Load the three persisted heads back (reference load_model_file,
+    estimate_queue.py:64-69). Loaded models carry identical coefficients,
+    so scoring is bit-identical to the in-memory originals
+    (pytest-asserted in tests/test_ml.py)."""
+    return {
+        name: LinearRegressionModel.load(f"{base_dir.rstrip('/')}/{name}")
+        for name in TRUE_WEIGHTS
+    }
+
+
 @register(
     "queue_estimate_ml",
     oracle=None,  # trained-model scoring is engine-specific → rows-only
@@ -209,8 +232,9 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     labeled = feats.withColumn("label_bin", (dot > 0).cast("double"))
-    train = labeled.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
-    test = labeled.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    is_test = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    train = labeled.where(~is_test)
+    test = labeled.where(is_test)
     lr = LogisticRegression(
         featuresCol="features", labelCol="label_bin", maxIter=50
     )
@@ -222,8 +246,22 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = BinaryClassificationEvaluator(
         labelCol="label_bin", metricName="areaUnderROC"
     ).evaluate(scored)
+    # one action for both split sizes (was two extra full-scan counts)
+    split_counts = {
+        bool(r.t): r.n
+        for r in labeled.groupBy(is_test.alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     return spark.createDataFrame(
-        [(train.count(), test.count(), float(acc), float(auc))],
+        [
+            (
+                split_counts.get(False, 0),
+                split_counts.get(True, 0),
+                float(acc),
+                float(auc),
+            )
+        ],
         schema="n_train long, n_test long, accuracy double, auc double",
     )
 

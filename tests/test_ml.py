@@ -90,3 +90,31 @@ def test_tfidf_downweights_ubiquitous_tokens(spark):
     for a in arrs:
         positive = [v for v in a if v > 0]
         assert len(positive) == 1
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Persist the three trained heads and score from LOADED artifacts —
+    the reference's load_model_file registry pattern (estimate_queue.py:
+    64-69). Loaded models must predict bit-identically."""
+    from gjenbruksstasjoner_kotid_estimering_spark.ml.models import (
+        _features_df,
+        load_queue_models,
+        save_queue_models,
+        score,
+        train_queue_models,
+    )
+
+    models = train_queue_models(spark, SF)
+    save_queue_models(models, str(tmp_path / "registry"))
+    loaded = load_queue_models(str(tmp_path / "registry"))
+    assert set(loaded) == set(models)
+
+    feats = _features_df(spark, SF)
+    cols = [f"pred_{n}" for n in models]
+    orig = score(models, feats).select("vec_id", *cols).collect()
+    redo = score(loaded, feats).select("vec_id", *cols).collect()
+    by_id = {r.vec_id: r for r in redo}
+    for r in orig:
+        s = by_id[r.vec_id]
+        for c in cols:
+            assert getattr(r, c) == getattr(s, c), (r.vec_id, c)
