@@ -24,6 +24,30 @@ from pyspark.sql.types import StructType
 
 from ..io import load_table, table_path
 
+# The scale-grade state backend: HDFSBackedStateStore keeps every version
+# of every key in executor heap (state size bounded by memory); RocksDB
+# spills to local disk with incremental changelog checkpointing — the
+# right choice once watermarked joins/aggregations carry GBs of state per
+# executor. Applied per-session by use_rocksdb_state(); exercised in
+# tests/test_streaming.py.
+ROCKSDB_STATE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # bound local disk growth: compact + trackTotalNumberOfRows off is the
+    # documented perf posture for write-heavy state
+    "spark.sql.streaming.stateStore.rocksdb.compactOnCommit": "false",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "false",
+}
+
+
+def use_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch streaming state to the RocksDB provider (idempotent; applies
+    to queries started after the call)."""
+    for k, v in ROCKSDB_STATE_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
 
 def raw_events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """On-disk schema (ts arrives as long nanos under nanosAsLong — the

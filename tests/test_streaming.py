@@ -105,3 +105,82 @@ def test_stream_stream_join(spark, tmp_path):
         & (F.col("ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).count()
     assert got == batch > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than the restored watermark must be dropped by the
+    stateful aggregation (numRowsDroppedByWatermark), not merged — the
+    late-data contract of the windowed lane (VERDICT r1 #9)."""
+    from datetime import datetime, timezone
+
+    import glob as _glob
+    import shutil
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+
+    def add_file(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(indir / f"{name}.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(indir))
+        )
+        q = (
+            fs.windowed_counts_stream(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+
+    t = lambda h, m=0: datetime(2024, 5, 6, h, m, tzinfo=timezone.utc)  # noqa: E731
+    # run 1: two on-time events -> watermark persists at 13:00 - 30min
+    add_file([(1, 7, "ok", t(12), 1.0), (2, 7, "ok", t(13), 2.0)], "b1")
+    assert drain() == 0
+    # run 2: one event far older than the watermark + one fresh event
+    add_file([(3, 7, "ok", t(9), 99.0), (4, 7, "ok", t(13, 5), 3.0)], "b2")
+    assert drain() == 1  # exactly the 09:00 row was dropped
+
+
+def test_rocksdb_state_store(spark, tmp_path):
+    """The windowed aggregation runs on the RocksDB state-store provider
+    (the bounded-memory backend for large state) and produces the same
+    result as the batch twin."""
+    fs.use_rocksdb_state(spark)
+    try:
+        fs.run_available_now(
+            spark, SF, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        got = spark.read.parquet(str(tmp_path / "out"))
+        assert got.count() > 0
+        # RocksDB leaves its own artifacts (changelog/snapshot zips) in the
+        # state checkpoint, proving the provider was actually in use.
+        import glob as _glob
+
+        arts = _glob.glob(
+            str(tmp_path / "ckpt" / "state" / "**" / "*.zip"), recursive=True
+        ) + _glob.glob(
+            str(tmp_path / "ckpt" / "state" / "**" / "*.changelog"),
+            recursive=True,
+        )
+        assert arts, "no RocksDB state artifacts found"
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
