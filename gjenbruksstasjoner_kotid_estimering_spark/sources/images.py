@@ -158,6 +158,47 @@ def default_featurizer(image: np.ndarray) -> np.ndarray:
     return pooled.astype(np.float32).flatten()[:FEATURE_LEN]
 
 
+def cv2_decoder() -> Callable[[bytes], np.ndarray]:
+    """REAL JPEG decoder (reference preprocess_image.py:52 cv2.imdecode).
+    Raises ImportError where OpenCV is absent — gate with
+    :func:`real_lane_available` and fall back to :func:`default_decoder`."""
+    import cv2  # noqa: F401 — optional dependency, absent in this container
+
+    def decode(content: bytes) -> np.ndarray:
+        return cv2.imdecode(np.frombuffer(content, np.uint8), cv2.IMREAD_COLOR)
+
+    return decode
+
+
+def vgg16_featurizer() -> Callable[[np.ndarray], np.ndarray]:
+    """REAL conv-base featurizer (reference preprocess_image.py:176-195):
+    VGG16(weights='imagenet', include_top=False) prediction, flattened
+    float32 — 58368 values for the reference camera geometry. Instantiate
+    ONCE PER WORKER (pass the returned callable into preprocess_images, the
+    factory runs the heavyweight model construction a single time — the
+    reference reloads it per image, preprocess_image.py:184,194)."""
+    from tensorflow.keras.applications import VGG16  # optional dependency
+
+    model = VGG16(weights="imagenet", include_top=False)
+
+    def featurize(image: np.ndarray) -> np.ndarray:
+        return model.predict(image[np.newaxis, ...], verbose=0).astype(
+            np.float32
+        ).flatten()
+
+    return featurize
+
+
+def real_lane_available() -> bool:
+    """True iff the optional cv2 + keras/VGG16 path can be constructed."""
+    try:
+        import cv2  # noqa: F401
+        from tensorflow.keras.applications import VGG16  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
 def read_images(spark: SparkSession, path: str, glob: str = "*.jpg") -> DataFrame:
     """Binary-file source: one row per image (reference O1/O2,
     preprocess_image.py:22-54)."""

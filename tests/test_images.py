@@ -93,3 +93,40 @@ def test_reference_camera_frame_through_lane(spark, tmp_path):
     assert len(r.features) == im.FEATURE_LEN
     again = im.preprocess_images(im.read_images(spark, str(tmp_path))).collect()[0]
     assert list(r.features) == list(again.features)
+
+
+def test_real_codec_golden_parity(spark, tmp_path):
+    """Full-fidelity golden check: decode the reference's camera frame with
+    REAL cv2, preprocess, featurize with REAL VGG16, and compare against
+    the shipped golden vector (test/data/processed_image.bin, float32
+    [58368]). Skips cleanly where the optional codec/weights are absent
+    (this container); in a codec-equipped container it proves O2/O6 parity
+    end-to-end through the Spark lane."""
+    import os
+    import pickle
+
+    import pytest
+
+    jpg = "/root/reference/test/data/station_id_41_20200506T094000.jpg"
+    golden = "/root/reference/test/data/processed_image.bin"
+    if not (os.path.exists(jpg) and os.path.exists(golden)):
+        pytest.skip("reference fixtures not present")
+    if not im.real_lane_available():
+        pytest.skip("cv2/VGG16 not available in this container")
+
+    import shutil
+
+    indir = tmp_path / "frames"
+    indir.mkdir()
+    shutil.copy(jpg, indir / os.path.basename(jpg))
+    feats = im.preprocess_images(
+        im.read_images(spark, str(indir)),
+        decoder=im.cv2_decoder(),
+        featurizer=im.vgg16_featurizer(),
+    ).collect()
+    assert len(feats) == 1
+    got = np.asarray(feats[0].features, dtype=np.float32)
+    with open(golden, "rb") as f:
+        want = np.asarray(pickle.load(f), dtype=np.float32)
+    assert got.shape == want.shape == (58368,)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4)
