@@ -25,6 +25,21 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the physical plan"
     )
     parser.add_argument("--list", action="store_true", help="list operators")
+    parser.add_argument(
+        "--images",
+        help="run the image preprocess lane over this directory instead of a "
+        "registry query (the reference's PreprocessImageTask invocation, "
+        "tasks.py:44-45)",
+    )
+    parser.add_argument(
+        "--path-prefix",
+        default="",
+        help="with --images: only frames whose basename starts with this "
+        "prefix (the Luigi --prefix= parameter analog, tasks.py:14)",
+    )
+    parser.add_argument(
+        "--out", help="with --images: write the feature parquet here"
+    )
     args = parser.parse_args(argv)
 
     from . import registry
@@ -35,6 +50,23 @@ def main(argv: list[str] | None = None) -> int:
             kind = "oracle" if specs[name].oracle else "rows-only"
             print(f"{name}\t{kind}")
         return 0
+
+    if args.images:
+        from .session import get_spark
+        from .sources import images as im
+
+        spark = get_spark("cli:images")
+        glob = f"{args.path_prefix}*" if args.path_prefix else "*.jpg"
+        feats = im.preprocess_images(im.read_images(spark, args.images, glob=glob))
+        if args.out:
+            im.write_features(feats, args.out)
+        rows = feats.limit(args.show).collect()
+        total = feats.count()
+        print(f"images[{glob}]: {total} frames; first {len(rows)}:")
+        for r in rows:
+            print(" ", r.path, r.station_id, r.epoch, f"{len(r.features)} floats")
+        return 0
+
     if args.query not in specs:
         print(f"unknown query {args.query!r}; use --list", file=sys.stderr)
         return 2
