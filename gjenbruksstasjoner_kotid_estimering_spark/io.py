@@ -50,6 +50,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Conditionally repartition a narrow-input frame so CPU-heavy
+    downstream work (explode/Expand, JSON parsing, higher-order functions,
+    Python UDFs) parallelizes.
+
+    A single compacted parquet file with one row group scans as ONE input
+    split, serializing everything until the next exchange; real clusters
+    facing an unsplittable file repartition exactly like this. The guard
+    makes it a structural NO-OP at scale: when the scan already has at
+    least half the core count in splits (the 100 TB case — thousands of
+    files), no exchange is added. With ``keys`` the repartition is keyed
+    (reusable by a downstream groupBy on the same keys); otherwise
+    round-robin. The explicit numPartitions keeps AQE from coalescing the
+    small-by-bytes exchange back down (byte-based sizing can't see
+    per-row CPU cost).
+    """
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, want // 2):
+        return df
+    if keys:
+        return df.repartition(want, *[F.col(k) for k in keys])
+    return df.repartition(want)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so SQL-form plans can refer to tables by name."""
     for name in names:

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col, tokens_col
-from ..io import load_table
+from ..io import fan_out, load_table
 from ..registry import register
 
 # MinHash parameters: 16 permutations × 4 bands of 4 → candidate recall on
@@ -123,29 +123,40 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "minhash"),
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        minhash_signature_col(shingles_col(F.col("text"))).alias("sig"),
+    # Same signature values as the original HOF-fold form (per seed i,
+    # min over shingles of xxhash64(s, i)), but computed as explode →
+    # 16-column min hash-aggregate: whole-stage codegen, map-side partial
+    # mins, and the per-shingle hashing parallelizes across cores instead
+    # of running as one interpreted fold per row (measured ~4x at sf0.1).
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    grams = d.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    exploded = grams.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
     )
     n_bands = N_HASHES // BAND_SIZE
-    bands = sig.select(
+    bands = sigs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * BAND_SIZE + 1, BAND_SIZE),
-                                lambda h: h.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * BAND_SIZE + j}").cast("string")
+                                    for j in range(BAND_SIZE)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
@@ -278,17 +289,10 @@ _MH_BAND_SELECTS = "\n          UNION ALL ".join(
     tags=("dedup", "jaccard", "minhash", "lsh"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition the raw docs BEFORE shingling with an explicit count:
-    # the testdata is one parquet split, so without this every downstream
+    # fan_out BEFORE shingling: on a one-split scan every downstream
     # higher-order-function projection (shingle build, per-shingle md5)
-    # runs in a single task; and a bare repartition(col) would be AQE-
-    # coalesced back down (the shuffle is small by bytes, but each row
-    # carries CPU work AQE's byte-based sizing can't see). The shuffle
-    # moves only raw (doc_id, text) — a few MB here, and a no-op
-    # structurally at real scale where the scan is already split.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    # would run in a single task (no-op at scale — see io.fan_out).
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
     # Filter on token count, NOT on size(bigrams): a size(bigrams)>0 filter
     # gets predicate-pushed below the repartition and drags the whole
     # shingle expression into the single pre-shuffle task. A k=2 shingle

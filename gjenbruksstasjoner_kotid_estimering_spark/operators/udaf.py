@@ -89,13 +89,14 @@ def _grouped_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     tags=("udaf", "pandas"),
 )
 def udaf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import fan_out
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    # Explicit repartition on the group key: AQE coalesces the small-by-
-    # bytes shuffle to ~1 partition, which would funnel every group through
-    # a single Python worker; REPARTITION_BY_NUM is exempt from coalescing
-    # and applyInPandas reuses the same hash partitioning (no extra
-    # exchange), so groups fan out across all workers.
-    ev = ev.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
+    # Keyed fan_out: AQE would coalesce the small-by-bytes shuffle to ~1
+    # partition and funnel every group through a single Python worker;
+    # applyInPandas reuses the explicit hash partitioning (no extra
+    # exchange), so groups spread across all workers.
+    ev = fan_out(ev, keys=["user_id"])
     return ev.groupBy("user_id").applyInPandas(_grouped_stats, schema=_SCHEMA)
 
 

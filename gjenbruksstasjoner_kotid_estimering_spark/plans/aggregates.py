@@ -84,7 +84,11 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "distinct"),
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..io import fan_out
+
+    # round-robin fan_out: the distinct-aggregate expand/partial phase is
+    # CPU-heavy and otherwise runs in the single scan task (no-op at scale)
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
@@ -101,7 +105,9 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..io import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -292,15 +298,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("unpivot",),
 )
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..io import fan_out
+
+    # fan_out: the Expand node triples the row count; on a one-split scan
+    # all of it serializes into a single task otherwise (no-op at scale).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.unpivot(
         ids=["l_orderkey", "l_linenumber"],
         values=["l_quantity", "l_discount", "l_tax"],
         variableColumnName="metric",
         valueColumnName="metric_value",
     ).withColumn(
+        # strip the 'l_' prefix: fixed-offset substring, not a per-row
+        # regex split (this runs once per OUTPUT row — 3x the input)
         "metric",
-        F.element_at(F.split(F.col("metric"), "_"), 2),
+        F.substring(F.col("metric"), 3, 64),
     )
 
 

@@ -523,7 +523,9 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject keeps the two projects apart because the alias is
     # non-cheap and multi-referenced — verified 1 occurrence in the
     # executed plan).
-    parsed = ev.select(
+    from ..io import fan_out
+
+    parsed = fan_out(ev).select(
         "event_id",
         "event_type",
         "value",
