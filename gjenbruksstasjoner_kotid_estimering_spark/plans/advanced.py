@@ -1,0 +1,185 @@
+"""Advanced analytic surfaces: order statistics, mergeable sketches,
+lateral (correlated) joins, and distribution-rank windows.
+
+These extend SURVEY.md §2 Part B beyond the round-1 checklist:
+
+- ``agg_median_mode`` — exact median + deterministic mode per group.
+  Mode is computed as count-then-rank (not the built-in ``mode()``,
+  whose tie-breaking is engine-specific), so the DuckDB oracle hashes
+  exactly.
+- ``agg_hll_sketch`` — Apache DataSketches HLL via ``hll_sketch_agg``:
+  per-group sketches PLUS a union-merged global row. The point at 100 TB
+  is mergeability: partial sketches combine map-side and across
+  partitions/time-slices without rescanning raw data (the same property
+  the reference's Luigi memoization approximates by caching task
+  outputs, tasks.py:19-29). Approximate → rows-only check by contract.
+- ``join_lateral`` — correlated LATERAL subquery with per-row ORDER BY
+  ... LIMIT (top-2 orders per customer). Spark decorrelates this into a
+  window/rank plan — no per-row re-execution, unlike a driver loop.
+- ``window_percent_rank`` — percent_rank + cume_dist: rank ratios are
+  exact rational arithmetic on counts, so they hash exactly cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from ..registry import register
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ),
+        m AS (
+            SELECT l_returnflag, l_quantity AS mode_qty,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, l_quantity
+                   ) AS rn
+            FROM c
+        )
+        SELECT g.l_returnflag,
+               g.median_qty,
+               m.mode_qty,
+               g.n_rows
+        FROM (
+            SELECT l_returnflag,
+                   median(l_quantity) AS median_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        ) g
+        JOIN m ON g.l_returnflag = m.l_returnflag AND m.rn = 1
+    """,
+    doc="Exact median (interpolating percentile, exact on the corpus's "
+    "integral quantities) + deterministic mode per return flag. Mode "
+    "tie-breaks (count DESC, value ASC) explicitly because built-in "
+    "mode() resolves ties engine-specifically. Scale shape: the mode "
+    "pre-count groups on (flag, qty) — bounded fan-in — and the rank "
+    "window runs over those few hundred rows, never over raw lineitem.",
+    tags=("agg", "orderstats"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "n_rows"
+    )
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # approximate by design → rows-only check
+    doc="DataSketches HLL distinct-count rollup: per-returnflag sketches "
+    "(hll_sketch_agg, lgConfigK=14 ≈ 0.8% rsd) estimated per group, then "
+    "hll_union_agg merges the SAME partial sketches into an 'ALL' row — "
+    "no second scan. This mergeability is the 100 TB contract: partial "
+    "sketches combine map-side, across partitions, and across incremental "
+    "runs (store the binary sketch column, union tomorrow's). Invariants "
+    "(estimate within rsd of exact, union ≥ max part) are pytest-checked.",
+    tags=("agg", "sketch", "approx"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sk")
+    )
+    # One cached pass over the tiny per-group sketch table feeds both the
+    # per-group rows and the merged ALL row.
+    per = per.localCheckpoint(eager=False)
+    groups = per.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("approx_parts"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").alias("approx_parts"),
+    )
+    return groups.unionByName(merged)
+
+
+@register(
+    "join_lateral",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="Correlated LATERAL subquery: top-2 orders by totalprice per "
+    "BUILDING-segment customer, deterministic tie-break on o_orderkey. "
+    "Catalyst decorrelates the per-row ORDER BY/LIMIT into a single "
+    "ranked window over one shuffled join — set-at-a-time, not the "
+    "reference's per-entity loop (tasks.py one task per image). The "
+    "segment filter pushes into the customer scan.",
+    tags=("join", "lateral", "subquery"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    doc="Distribution ranks: percent_rank ((rank-1)/(n-1)) and cume_dist "
+    "(peers≤x / n) of account balance within market segment. Ratios of "
+    "exact integer counts → bit-identical doubles cross-engine, ties "
+    "handled by SQL rank semantics (no ordering ambiguity in output). "
+    "One shuffle on the partition key; WindowExec streams each segment.",
+    tags=("window", "rank"),
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

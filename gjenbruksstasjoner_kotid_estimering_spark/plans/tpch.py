@@ -25,6 +25,115 @@ def _rev_cents(price, discount):
 
 
 @register(
+    "tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+                    * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               CAST(sum(CAST(round(((l_extendedprice * (1.0 - l_discount))
+                    * (1.0 + l_tax)) * 100.0, 0) AS BIGINT)) AS BIGINT)
+                    AS sum_charge_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                    / count(*) AS avg_qty,
+               CAST(sum(CAST(round(l_discount * 100.0, 0) AS BIGINT))
+                    AS DOUBLE) / (100.0 * count(*)) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 (pricing summary report): the canonical scan-and-"
+    "aggregate — one pushed-down date filter, partial+final hash agg onto "
+    "~6 groups, zero joins. Sums use exact integer/cents arithmetic; "
+    "averages derive from the exact sums by one double division so the "
+    "hash can never drift under parallel summation. Reference analog: the "
+    "per-batch summary posture of estimate_queue.py:181-192 generalized "
+    "to a full-corpus rollup.",
+    tags=("tpch", "agg", "filter"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    sum_qty = F.sum(F.col("l_quantity").cast("long"))
+    sum_disc100 = F.sum(F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-06-30 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(F.round(disc_price * 100.0, 0).cast("long")).alias(
+                "sum_disc_cents"
+            ),
+            F.sum(F.round(charge * 100.0, 0).cast("long")).alias(
+                "sum_charge_cents"
+            ),
+            (sum_qty.cast("double") / cnt).alias("avg_qty"),
+            (sum_disc100.cast("double") / (F.lit(100.0) * cnt)).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 (large-volume customers): lineitem pre-aggregated per "
+    "order (the one big shuffle), HAVING keeps a tiny survivor set that is "
+    "then BROADCAST into orders and customer — at 100 TB the fact table "
+    "shuffles exactly once and no fact-fact join ever materializes. "
+    "Deterministic top-100 via (o_totalprice DESC, o_orderkey) tie-break.",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "tpch_q3",
     oracle="""
         SELECT l.l_orderkey,

@@ -79,6 +79,7 @@ def _load_all() -> None:
     from .plans import (  # noqa: F401
         windows,
         tpch,
+        advanced,
         setops,
     )
     from .streaming import windows as stream_windows  # noqa: F401

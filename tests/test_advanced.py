@@ -1,0 +1,92 @@
+"""Invariants for the round-2 advanced surfaces (plans/advanced.py,
+plans/tpch.py Q1/Q18): sketch accuracy/mergeability, lateral-join
+equivalence with its window-rank form, and the plan shapes that make
+Q18 scale (single fact shuffle, broadcast survivor set)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, name):
+    return registry.all_specs()[name].builder(spark, SF)
+
+
+def test_hll_sketch_within_rsd_and_merge_dominates(spark):
+    rows = {r["l_returnflag"]: r["approx_parts"] for r in _build(spark, "agg_hll_sketch").collect()}
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = li.select("l_partkey").distinct().count()
+    # lgConfigK=14 → rsd ≈ 0.81%; allow 3 standard errors
+    for flag, est in rows.items():
+        assert abs(est - exact[flag]) <= max(3, 0.025 * exact[flag]), (flag, est, exact[flag])
+    # merged union must dominate every per-group estimate
+    assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
+
+
+def test_lateral_equals_window_rank_form(spark):
+    lateral = _build(spark, "join_lateral")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+    assert lateral.exceptAll(ranked).count() == 0
+    assert ranked.exceptAll(lateral).count() == 0
+    # per-row LIMIT holds
+    per = lateral.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert per <= 2
+
+
+def test_q18_every_row_exceeds_threshold(spark):
+    res = _build(spark, "tpch_q18").collect()
+    assert all(r["total_qty"] > 300 for r in res)
+    # top-100 ordering is descending on totalprice
+    prices = [r["o_totalprice"] for r in res]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q18_plan_single_fact_shuffle_broadcast_survivors(spark):
+    df = _build(spark, "tpch_q18")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # survivor set joins orders/customer via broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_two_phase_agg_no_join(spark):
+    df = _build(spark, "tpch_q1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_median_mode_deterministic_tiebreak(spark):
+    rows = _build(spark, "agg_median_mode").collect()
+    li = load_table(spark, SF, "lineitem")
+    for r in rows:
+        counts = (
+            li.where(F.col("l_returnflag") == r["l_returnflag"])
+            .groupBy("l_quantity")
+            .count()
+            .collect()
+        )
+        best = max(counts, key=lambda x: (x["count"], -x["l_quantity"]))
+        assert r["mode_qty"] == best["l_quantity"]
