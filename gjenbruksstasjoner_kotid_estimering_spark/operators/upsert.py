@@ -164,9 +164,14 @@ def _sink_shape_oracle() -> str:
     tags=("upsert", "sink", "decimal"),
 )
 def upsert_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import fan_out
     from .asof_interp import queue_estimate
 
-    est_df = queue_estimate(spark, sf_dir)
+    # The flagship is a deliberately zero-shuffle broadcast pipeline, so on
+    # a one-split scan its output sits in a single partition; the x5 Expand
+    # + per-output-row decimal/string casts below would serialize there.
+    # fan_out spreads the melt across cores (structural no-op at scale).
+    est_df = fan_out(queue_estimate(spark, sf_dir))
     melted = est_df.select(
         "station_id",
         F.concat(

@@ -84,11 +84,11 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "distinct"),
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import fan_out
-
-    # round-robin fan_out: the distinct-aggregate expand/partial phase is
-    # CPU-heavy and otherwise runs in the single scan task (no-op at scale)
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    # No fan_out here: Expand already multiplies rows 3x before the partial
+    # agg, and the map-side partial dedup shrinks the shuffle far more than
+    # an extra exchange would buy back (measured: plain 0.6s vs fanned 1.4s
+    # at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
@@ -99,18 +99,22 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL sketch is engine-specific → rows-only check
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for "
-    "cardinality estimation; rows-only because sketches differ across "
-    "engines by design.",
+    doc="approx_count_distinct (HyperLogLog++) vs the exact count, both "
+    "derived from ONE pre-deduplicated (flag, partkey) pass instead of a "
+    "multi-distinct Expand: the dedup groupBy gets map-side partial "
+    "aggregation (the shuffle carries unique pairs, not raw rows), then "
+    "exact = count(*) and approx = HLL over the distinct set — identical "
+    "estimate, since HLL is duplicate-insensitive. At 100 TB this halves "
+    "shuffle volume vs the Expand plan. Rows-only: sketches are "
+    "engine-specific.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import fan_out
-
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
-    return li.groupBy("l_returnflag").agg(
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
 
