@@ -178,20 +178,57 @@ def connected_components_propagation(
     return labels
 
 
+def _clusters_oracle() -> str:
+    # Cluster the SAME verified pair set dedup_ngram_jaccard derives
+    # (md5-MinHash candidates → exact Jaccard ≥ threshold — every step
+    # engine-portable), then take the transitive closure with a recursive
+    # CTE and label each node with the minimum reachable doc_id. The
+    # closure is quadratic in component size — fine for an oracle over
+    # near-dup clusters (small by construction), never the Spark plan.
+    from .dedup import JACCARD_DUP_THRESHOLD, JACCARD_ORACLE_CTES
+
+    return f"""
+        WITH RECURSIVE {JACCARD_ORACLE_CTES},
+        verified AS (
+          SELECT doc_a, doc_b FROM scored
+          WHERE jaccard >= {JACCARD_DUP_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM verified
+        ),
+        reach AS (
+          SELECT a AS node, b AS r FROM edges
+          UNION
+          SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT node AS doc_id,
+               least(node, min(r)) AS component,
+               least(node, min(r)) = node AS is_representative
+        FROM reach
+        GROUP BY node
+    """
+
+
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — rows-only; invariants pytest-checked
-    doc="Near-dup clusters: MinHash-LSH candidate pairs → connected "
-    "components via alternating large-star/small-star (O(log n) rounds "
-    "regardless of diameter, localCheckpoint per round) → one row per "
-    "clustered doc with its cluster id and the elected representative "
-    "(min doc_id). The iterative-algorithm surface of the engine.",
+    oracle=_clusters_oracle(),
+    doc="Near-dup clusters over the VERIFIED near-dup edges "
+    "(dedup_ngram_jaccard's exact-Jaccard pairs): connected components "
+    "via alternating large-star/small-star (O(log n) rounds regardless "
+    "of diameter, localCheckpoint per round) → one row per clustered doc "
+    "with its cluster id (min reachable doc_id) and the elected "
+    "representative. Oracle-checked end-to-end: DuckDB re-derives the "
+    "identical edge set and computes the closure with a recursive CTE — "
+    "the iterative-algorithm surface of the engine, with an exact "
+    "cross-engine answer.",
     tags=("dedup", "cluster", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import dedup_near_minhash
+    from .dedup import dedup_ngram_jaccard
 
-    pairs = dedup_near_minhash(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
     comps = connected_components(pairs)
     return comps.select(
         F.col("node").alias("doc_id"),

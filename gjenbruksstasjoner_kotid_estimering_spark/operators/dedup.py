@@ -233,10 +233,11 @@ _MH_BAND_SELECTS = "\n          UNION ALL ".join(
 )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# The full candidate-generation + exact-scoring chain as a reusable CTE
+# body: dedup_ngram_jaccard's oracle selects from it directly, and
+# operators/clusters.py extends it with a recursive-CTE connected
+# components so the cluster assignment is oracle-checked end-to-end.
+JACCARD_ORACLE_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         grams AS (
           SELECT doc_id,
                  list_distinct(list_filter(
@@ -276,7 +277,13 @@ _MH_BAND_SELECTS = "\n          UNION ALL ".join(
           FROM cand c
           JOIN g ga ON ga.doc_id = c.doc_a
           JOIN g gb ON gb.doc_id = c.doc_b
-        )
+        )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {JACCARD_ORACLE_CTES}
         SELECT doc_a, doc_b, jaccard FROM scored
         WHERE jaccard >= {JACCARD_DUP_THRESHOLD}
     """,

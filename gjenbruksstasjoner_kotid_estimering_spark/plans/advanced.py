@@ -158,6 +158,71 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_gaps",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, us,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY us, ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization as gaps-and-islands: a new session starts "
+    "after a >30 min silence; session id = running count of gap flags "
+    "per user (lag + cumulative sum), then one aggregate row per "
+    "session. Gap arithmetic is exact integer microseconds "
+    "(unix_micros ≡ epoch_us), so the oracle hashes exactly — the "
+    "deterministic batch twin of the rows-only session_window_agg. "
+    "Scale shape: ONE shuffle on user_id; the lag window, the running "
+    "sum, and the final groupBy (keys ⊇ partition key) all reuse that "
+    "partitioning.",
+    tags=("window", "session", "streaming"),
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > 1800 * 1_000_000, 1
+        ).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )
+
+
+@register(
     "window_percent_rank",
     oracle="""
         SELECT c_custkey, c_mktsegment, c_acctbal,
