@@ -56,3 +56,50 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_min").alias("min_value"),
         F.max("_max").alias("max_value"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        SELECT e.event_id, e.event_type, e.value, d.weight
+        FROM events e
+        JOIN (
+            SELECT DISTINCT event_type,
+                   CAST(length(event_type) AS BIGINT) AS weight
+            FROM events
+        ) d USING (event_type)
+    """,
+    doc="Salted SKEWED JOIN: every fact row of a hot key (5 event types "
+    "carry the whole corpus) would land on one reducer in a plain "
+    "shuffle join; instead the fact side gets a deterministic salt "
+    "(event_id mod 16) and the dim side is REPLICATED 16× (explode over "
+    "the salt range), so the join key becomes (key, salt) and each hot "
+    "key spreads over 16 reducers. hint('merge') forces the shuffle-join "
+    "path the pattern exists for — with a broadcastable dim you'd "
+    "broadcast instead; this is the fact-vs-too-big-to-broadcast shape. "
+    "Join output is row-identical to the unsalted join (the oracle IS "
+    "the plain join). AQE's skewedJoin handles the same problem "
+    "adaptively; explicit salting is the portable, planner-independent "
+    "form.",
+    tags=("join", "skew", "salt"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    salted_fact = ev.withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        salted_fact.hint("merge")
+        .join(salted_dim, ["event_type", "_salt"])
+        .select("event_id", "event_type", "value", "weight")
+    )
