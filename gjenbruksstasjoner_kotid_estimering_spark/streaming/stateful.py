@@ -84,3 +84,57 @@ def stateful_station_tracker(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+try:  # Spark 4.x arbitrary-state API (transformWithStateInPandas)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _TrackerProcessor(StatefulProcessor):
+        """transformWithStateInPandas twin of :func:`_track`: the same
+        three-scalar per-key state held in a typed ValueState. The newer
+        API adds composite state types (Value/List/Map), per-key timers,
+        TTL, and initial-state seeding, and requires the RocksDB state
+        store provider — the operational posture for billions of keys
+        (state lives off-heap/on-disk per executor, not in JVM heap)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, mx, last_err = self._agg.get()
+            else:
+                n, mx, last_err = 0, float("-inf"), 0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+                    errs = pdf.loc[pdf["event_type"] == "error", "ts"]
+                    if len(errs):
+                        last_err = max(last_err, int(errs.max().value // 1_000))
+            self._agg.update((n, mx, last_err))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "last_error_epoch_us": [last_err],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def stateful_station_tracker_tws(events: DataFrame) -> DataFrame:
+        """Spark-4 ``transformWithStateInPandas`` form of the tracker.
+        Caller must enable the RocksDB state store
+        (file_stream.use_rocksdb_state) — the API requires it."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_TrackerProcessor(),
+            outputStructType=output_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — older Spark
+    stateful_station_tracker_tws = None

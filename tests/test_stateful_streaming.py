@@ -79,3 +79,55 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
         .collect()
     }
     assert got == truth
+
+
+def test_transform_with_state_tracker_matches_batch(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas twin: same running aggregates,
+    typed ValueState, RocksDB provider (required by the API)."""
+    import pytest
+
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming.stateful import (
+        stateful_station_tracker_tws,
+    )
+
+    if stateful_station_tracker_tws is None:
+        pytest.skip("transformWithStateInPandas not available")
+    # the tws state-server protocol speaks protobuf from the Python side;
+    # absent in this container (no installs) — runs in a full environment
+    pytest.importorskip("google.protobuf.descriptor")
+    fs.use_rocksdb_state(spark)
+    try:
+        stream = stateful_station_tracker_tws(fs.read_events_stream(spark, SF))
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("update")
+            .format("memory")
+            .queryName("tracker_tws_out")
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table("tracker_tws_out")
+        got = {
+            r.user_id: r
+            for r in sorted(out.collect(), key=lambda r: (r.user_id, r.n_events))
+        }
+        from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+        truth = {
+            r.user_id: r
+            for r in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("mx"))
+            .collect()
+        }
+        assert set(got) == set(truth)
+        for uid, t in truth.items():
+            assert got[uid].n_events == t.n_events
+            assert got[uid].max_value == t.mx
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.HDFSBackedStateStoreProvider",
+        )
