@@ -153,3 +153,70 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(marked, ignorenulls=True).over(w).alias("last_error_value"),
         F.count(marked).over(w).alias("errors_so_far"),
     )
+
+
+TOLERANCE_US = 3600 * 1_000_000  # 1 hour
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, us,
+                   last_value(CASE WHEN event_type = 'error' THEN value END
+                              IGNORE NULLS) OVER win AS lv,
+                   last_value(CASE WHEN event_type = 'error' THEN us END
+                              IGNORE NULLS) OVER win AS lu
+            FROM e
+            WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN us - lu <= {TOLERANCE_US} THEN lv END
+                 AS last_error_within_1h,
+               CAST(CASE WHEN us - lu <= {TOLERANCE_US} THEN us - lu END
+                    AS BIGINT) AS error_age_us
+        FROM w
+    """,
+    doc="As-of join with a STALENESS TOLERANCE — the feature-store "
+    "semantics: each event sees the most recent at-or-before 'error' "
+    "reading only if it is at most 1 hour old, else NULL (a too-old "
+    "feature must not leak forward). Same single-shuffle windowed "
+    "as-of as join_asof_nearest plus an exact integer-microsecond age "
+    "gate; NULL propagation (no prior error → NULL age → NULL output) "
+    "is identical cross-engine.",
+    tags=("join", "asof", "window", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lv = F.last(
+        F.when(F.col("event_type") == "error", F.col("value")), ignorenulls=True
+    ).over(w)
+    lu = F.last(
+        F.when(F.col("event_type") == "error", F.col("us")), ignorenulls=True
+    ).over(w)
+    age = F.col("us") - lu
+    fresh = age <= TOLERANCE_US
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, lv).alias("last_error_within_1h"),
+        F.when(fresh, age).cast("long").alias("error_age_us"),
+    )
