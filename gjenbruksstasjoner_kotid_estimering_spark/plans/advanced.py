@@ -158,6 +158,119 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               quantile_disc(l_quantity, 0.90) AS p90_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Grouped exact percentiles: interpolated (percentile_cont) at "
+    "quartiles + discrete (percentile_disc) at p90. Hash-exact because "
+    "the corpus quantities are small integers and quartile fractions "
+    "are dyadic — both engines' interpolation forms (lo+(hi-lo)*f vs "
+    "lo*(1-f)+hi*f) are exact, sidestepping their 1-ulp divergence on "
+    "arbitrary doubles. Exact percentiles need a per-group sort — the "
+    "100 TB path is agg_approx_quantile's mergeable KLL-style sketch; "
+    "this is the correctness baseline.",
+    tags=("agg", "percentile", "orderstats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p90_disc"
+        ),
+    )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+              )
+    """,
+    doc="Correlated EXISTS + NOT EXISTS: customers with at least one "
+    "big-ticket order and no finished order. Catalyst rewrites the pair "
+    "into a left-semi ⋈ left-anti cascade on the correlation key — two "
+    "key-partitioned joins, no per-row subquery execution; the "
+    "subquery-side predicates push into the orders scans.",
+    tags=("subquery", "exists", "join"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+              )
+        """
+    )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+               (SELECT CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0)
+                            AS BIGINT)
+                FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="Correlated SCALAR subqueries in the projection: per-order line "
+    "count and quantity sum. Catalyst decorrelates each into an "
+    "aggregate-then-left-outer-join on the correlation key (count(*) "
+    "coalesced to 0 for orders with no lines — the classic COUNT-bug "
+    "case, handled by the rewrite) — set-at-a-time, never one subquery "
+    "per row.",
+    tags=("subquery", "scalar", "join"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT count(*) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+               (SELECT coalesce(sum(CAST(l_quantity AS BIGINT)), CAST(0 AS BIGINT))
+                FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        """
+    )
+
+
+@register(
     "sessionize_gaps",
     oracle="""
         WITH flagged AS (
