@@ -90,3 +90,69 @@ def test_median_mode_deterministic_tiebreak(spark):
         )
         best = max(counts, key=lambda x: (x["count"], -x["l_quantity"]))
         assert r["mode_qty"] == best["l_quantity"]
+
+
+def test_sessionize_gaps_properties_hypothesis(spark):
+    """Sessionization invariants on random event-time sets (hypothesis):
+    the sessions PARTITION each user's events; consecutive events inside a
+    session are <= 30 min apart; consecutive sessions are separated by
+    > 30 min; session bounds equal the member min/max timestamps."""
+    from hypothesis import given, settings, strategies as st
+
+    GAP_US = 1800 * 1_000_000
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        offsets=st.lists(  # event offsets in seconds over a ~6 h horizon
+            st.integers(0, 6 * 3600), min_size=1, max_size=60
+        ),
+        n_users=st.integers(1, 3),
+    )
+    def check(offsets, n_users):
+        from datetime import datetime, timedelta
+
+        from gjenbruksstasjoner_kotid_estimering_spark.plans.advanced import (
+            sessionize_gaps,
+        )
+
+        base = datetime(2026, 1, 1)
+        rows = [
+            (i, i % n_users, base + timedelta(seconds=off))
+            for i, off in enumerate(offsets)
+        ]
+        df = spark.createDataFrame(
+            rows, schema="event_id long, user_id long, ts timestamp"
+        )
+        df.createOrReplaceTempView("_sess_events")
+        # drive the same plan the registry query builds, on this frame
+        import gjenbruksstasjoner_kotid_estimering_spark.plans.advanced as adv
+        from unittest import mock
+
+        with mock.patch.object(adv, "load_table", lambda s, d, n: df):
+            out = sessionize_gaps(spark, "unused").collect()
+
+        per_user = {}
+        for uid in set(r[1] for r in rows):
+            ts_sorted = sorted(t for (_, u, t) in rows if u == uid)
+            per_user[uid] = ts_sorted
+        sess = {}
+        for r in out:
+            sess.setdefault(r.user_id, []).append(r)
+        for uid, ts_sorted in per_user.items():
+            srows = sorted(sess[uid], key=lambda r: r.session_start)
+            # partition: session sizes sum to the user's event count
+            assert sum(r.n_events for r in srows) == len(ts_sorted)
+            # expected sessions recomputed independently
+            expected = [[ts_sorted[0]]]
+            for a, b in zip(ts_sorted, ts_sorted[1:]):
+                if (b - a).total_seconds() * 1_000_000 > GAP_US:
+                    expected.append([b])
+                else:
+                    expected[-1].append(b)
+            assert len(srows) == len(expected)
+            for r, grp in zip(srows, expected):
+                assert r.n_events == len(grp)
+                assert r.session_start == min(grp)
+                assert r.session_end == max(grp)
+
+    check()
