@@ -21,6 +21,20 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_distributed_path_matches_local(spark):
+    # local_cutoff=0 forces the star iteration; same labels as union-find
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 4)],
+        schema="doc_a long, doc_b long",
+    )
+    local = {r.node: r.component for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, local_cutoff=0).collect()
+    }
+    assert local == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_components_are_transitive_closure(spark):
     # a component label must equal the min over the whole component, even
     # through long chains (diameter > 1 iteration)
