@@ -401,18 +401,32 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = KMeans(
         k=16, seed=SEED, featuresCol="features", predictionCol="cluster"
     )
-    assigned = km.fit(feats).transform(feats).select(
-        "vec_id", "cluster", "embedding"
+    # Norms are computed ONCE per vector before the self-join; inside the
+    # join each candidate pair would re-fold 2×64 elements — per-side
+    # precomputation turns pair-quadratic fold work into two column reads.
+    norm_of = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    assigned = (
+        km.fit(feats)
+        .transform(feats)
+        .select("vec_id", "cluster", "embedding", norm_of.alias("nrm"))
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cluster"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
     dot = F.aggregate(
         F.zip_with(
@@ -423,13 +437,6 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(c),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
     pairs = (
         a.join(
             b,
@@ -439,7 +446,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "a_cluster",
-            (dot / (norm("a_emb") * norm("b_emb"))).alias("cos"),
+            (dot / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos"),
         )
         .where(F.col("cos") >= 0.97)
         .select(F.col("a_id").alias("dup_id"))

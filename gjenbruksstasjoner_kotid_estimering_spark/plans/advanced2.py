@@ -212,3 +212,257 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "value_cents")
         .orderBy(F.col("value_cents").desc(), F.col("l_partkey"))
     )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+        WITH sparse AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN value END AS v
+          FROM events WHERE user_id < 10
+        )
+        SELECT event_id, user_id, v,
+               lag(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS carry_v
+        FROM sparse
+    """,
+    doc="IGNORE NULLS analytics: carry-forward of a sparse signal (only "
+    "'error' events carry a value) — prev non-null and running last "
+    "non-null per user. Spark's functions API exposes ignorenulls on "
+    "first/last but not lag, so prev_v uses the frame equivalence "
+    "lag IGNORE NULLS ≡ last(v, ignorenulls) over rows(-∞, -1) — same "
+    "single window sort serves both outputs, one shuffle on user_id. "
+    "This is the gap-fill primitive behind sensor/feature forward-fill "
+    "at 100 TB (the as-of join family expressed as a window).",
+    tags=("window", "null", "analytic"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = (
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    carry = (
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sparse.select(
+        "event_id", "user_id", "v",
+        prev.alias("prev_v"), carry.alias("carry_v"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+        SELECT event_type,
+               bit_or(CAST(event_id % 256 AS BIGINT)) AS mask_or,
+               bit_and(CAST(event_id % 256 AS BIGINT)) AS mask_and,
+               bit_xor(CAST(event_id % 256 AS BIGINT)) AS mask_xor,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Bitwise aggregates (bit_or / bit_and / bit_xor) over a derived "
+    "8-bit mask per event type — the flag-set union/intersection rollup "
+    "of permission and feature-flag pipelines. All three are associative "
+    "+ commutative, so they combine map-side like sums and are "
+    "order-insensitive by construction (no cents trick needed).",
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mask = (F.col("event_id") % 256).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_or(mask).alias("mask_or"),
+            F.bit_and(mask).alias("mask_and"),
+            F.bit_xor(mask).alias("mask_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "explode_outer_slices",
+    oracle="""
+        WITH sliced AS (
+          SELECT vec_id,
+                 embedding[1 : CAST(vec_id % 3 AS INT)] AS arr
+          FROM embeddings WHERE vec_id < 100
+        ),
+        tagged AS (
+          SELECT vec_id,
+                 CASE WHEN len(arr) = 0
+                      THEN [{'pos': CAST(NULL AS INT),
+                             'val': CAST(NULL AS DOUBLE)}]
+                      ELSE list_transform(arr, (v, i) ->
+                             {'pos': CAST(i - 1 AS INT),
+                              'val': CAST(v AS DOUBLE)})
+                 END AS entries
+          FROM sliced
+        )
+        SELECT vec_id, e.pos AS pos, e.val AS val
+        FROM (SELECT vec_id, unnest(entries) AS e FROM tagged)
+    """,
+    doc="posexplode_outer: fan out variable-length array slices KEEPING "
+    "zero-length rows as (NULL, NULL) — the outer-join semantics of "
+    "explode that row-count-preserving pipelines need (a doc with no "
+    "attachments must survive the attachment fanout). The oracle "
+    "emulates OUTER via a sentinel single-element list on empties — "
+    "DuckDB's unnest drops them, which is exactly the difference under "
+    "test.",
+    tags=("explode", "array", "null"),
+)
+def explode_outer_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    sliced = e.select(
+        "vec_id",
+        F.slice(
+            F.col("embedding"), 1, (F.col("vec_id") % 3).cast("int")
+        ).alias("arr"),
+    )
+    return sliced.select(
+        "vec_id",
+        F.posexplode_outer("arr").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@register(
+    "map_hof_funcs",
+    oracle="""
+        SELECT event_id,
+               'type=' || event_type || '!,user=' ||
+                 CAST(user_id AS VARCHAR) || '!' AS upper_entries,
+               'type=' || event_type AS filtered_entries,
+               'type=' || event_type || '|' || event_type AS zipped_entries
+        FROM events
+        WHERE user_id < 5
+    """,
+    doc="Map higher-order functions: transform_values / map_filter / "
+    "map_zip_with over a per-row constructed map, canonicalized to sorted "
+    "'k=v' strings (map iteration order is engine-specific; the canonical "
+    "form is the contract). The oracle states the expected OUTPUT "
+    "directly — with literal keys the whole HOF chain folds to string "
+    "concatenation, which is exactly what Catalyst's constant-folding "
+    "cannot do here because values are per-row columns. All JVM-side "
+    "expression work, zero shuffles.",
+    tags=("map", "hof"),
+)
+def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    canon = lambda mm: F.concat_ws(  # noqa: E731
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries(mm)),
+            lambda e: F.concat(e.key, F.lit("="), e.value),
+        ),
+    )
+    bang = F.transform_values(m, lambda k, v: F.concat(v, F.lit("!")))
+    filtered = F.map_filter(m, lambda k, v: k == "type")
+    zipped = F.map_zip_with(
+        filtered,
+        filtered,
+        lambda k, v1, v2: F.concat(v1, F.lit("|"), v2),
+    )
+    return ev.select(
+        "event_id",
+        canon(bang).alias("upper_entries"),
+        canon(filtered).alias("filtered_entries"),
+        canon(zipped).alias("zipped_entries"),
+    )
+
+
+@register(
+    "array_funcs2",
+    oracle="""
+        WITH base AS (
+          SELECT vec_id,
+                 CAST(vec_id % 5 + 1 AS BIGINT) AS n,
+                 list_transform(embedding[1:8],
+                     v -> CAST(round(CAST(v AS DOUBLE) * 10.0, 0)
+                          AS BIGINT)) AS deci
+          FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id,
+               CAST(n * (n + 1) / 2 AS BIGINT) AS seq_sum,
+               CAST(len(flatten([deci[1:4], deci[5:8]])) AS INT) AS flat_len,
+               CAST(len(list_distinct(deci)) AS INT) AS n_distinct,
+               CAST(list_aggregate(
+                   list_transform(list_zip(deci, list_reverse_sort(deci)),
+                                  p -> p[1] * p[2]),
+                   'sum') AS BIGINT) AS zip_dot
+        FROM base
+    """,
+    doc="Array surface 2: sequence generation (+ fold to the closed-form "
+    "sum, asserting generator semantics), flatten of re-sliced halves, "
+    "array_distinct cardinality, and a zip_with dot product of the array "
+    "against its descending sort — exercising sequence / flatten / "
+    "array_distinct / sort_array(desc) / zip_with together on integer-"
+    "quantized embedding prefixes (exact cross-engine arithmetic). Pure "
+    "expression work on a pruned 8-element slice; no shuffle.",
+    tags=("array", "hof"),
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = e.select(
+        "vec_id",
+        ((F.col("vec_id") % 5) + 1).cast("long").alias("n"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda v: F.round(v.cast("double") * 10.0, 0).cast("long"),
+        ).alias("deci"),
+    )
+    seq_sum = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("n")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flat_len = F.size(
+        F.flatten(
+            F.array(
+                F.slice(F.col("deci"), 1, 4), F.slice(F.col("deci"), 5, 4)
+            )
+        )
+    )
+    zip_dot = F.aggregate(
+        F.zip_with(
+            F.col("deci"),
+            F.sort_array(F.col("deci"), asc=False),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "vec_id",
+        seq_sum.alias("seq_sum"),
+        flat_len.alias("flat_len"),
+        F.size(F.array_distinct(F.col("deci"))).alias("n_distinct"),
+        zip_dot.alias("zip_dot"),
+    )
