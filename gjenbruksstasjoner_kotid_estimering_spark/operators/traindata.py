@@ -139,7 +139,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "dedup"),
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan_out: one doc_id exchange serves the (doc_id, token) count,
+    # the per-doc rollup, and the final projection (HashPartitioning on
+    # doc_id satisfies both aggregates' clustering requirements).
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
     counts = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -213,7 +216,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan_out: hash-partitioning by doc_id is reused by BOTH the
+    # (doc_id, term) aggregate (ClusteredDistribution(doc_id, term) is
+    # satisfied by HashPartitioning(doc_id)) and the per-doc ranking
+    # window — one exchange serves three stages.
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
     n_docs = d.count()  # one tiny action; the scalar folds into the plan
     tf = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
