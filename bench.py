@@ -42,8 +42,12 @@ def main() -> None:
     specs = registry.all_specs()
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        df = specs[name].builder(spark, sf_dir)
+        # builder() inside the timed region: some builders do real work
+        # (MLlib fits, iterative collects, count() scalars) before the
+        # plan exists — timing only the final action would under-report
+        # them.
         t0 = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

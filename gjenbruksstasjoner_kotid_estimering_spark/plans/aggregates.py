@@ -285,20 +285,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_melt",
     oracle="""
+        WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
         SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
                l_quantity AS metric_value
-        FROM lineitem
+        FROM li
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'discount' AS metric,
                l_discount AS metric_value
-        FROM lineitem
+        FROM li
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS metric_value
-        FROM lineitem
+        FROM li
     """,
     doc="Unpivot/melt: wide metric columns → long (key, metric, value) form "
     "— the inverse of agg_pivot, one pass (Spark Expand node, not three "
-    "scans).",
+    "scans). Scoped to a 1-in-20 orderkey slice: the Expand shape under "
+    "test is identical while the gate result stays hashable-sized (the "
+    "unsliced melt tripled the whole fact table into the compare "
+    "harness).",
     tags=("unpivot",),
 )
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +310,11 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan_out: the Expand node triples the row count; on a one-split scan
     # all of it serializes into a single task otherwise (no-op at scale).
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_orderkey") % 20 == 0
+        )
+    )
     return li.unpivot(
         ids=["l_orderkey", "l_linenumber"],
         values=["l_quantity", "l_discount", "l_tax"],
