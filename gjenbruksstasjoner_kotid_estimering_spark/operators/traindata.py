@@ -504,3 +504,63 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "corpus_to_shards_pipeline",
+    oracle=None,  # FFD packing loop is not SQL-expressible → rows-only;
+    # determinism + budget invariants in tests/test_traindata.py
+    doc="Third flagship composite — raw corpus to training shards: "
+    "repetition-quality gate (keep-flagged docs only) → exact dedup "
+    "(min doc_id per text) → deterministic 16-way sharding "
+    "(xxhash64(doc_id)) → first-fit-decreasing packing into 512-token "
+    "bins → per-shard fill report (bins, docs, tokens, mean fill as one "
+    "double division of exact sums). One doc_id-keyed exchange feeds the "
+    "quality aggregates, one text-keyed exchange dedups, one part_id "
+    "exchange packs — three shuffles for the whole corpus-to-shards "
+    "path, each strictly smaller than the last (the 100 TB funnel "
+    "shape). Output is fully deterministic: hash-derived shards + stable "
+    "FFD ordering.",
+    tags=("flagship", "text", "packing", "pipeline"),
+)
+def corpus_to_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    counts = (
+        d.select("doc_id", "text", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("c").alias("top_word_count"),
+    )
+    top_frac = F.col("top_word_count").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    distinct_frac = F.col("distinct_tokens").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    kept = per_doc.where((top_frac <= 0.2) & (distinct_frac >= 0.25)).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    )
+    parted = deduped.select(
+        "doc_id",
+        "n_tokens",
+        F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int").alias("part_id"),
+    ).repartition(16, F.col("part_id"))
+    packed = parted.groupBy("part_id").applyInPandas(
+        _pack_partition, schema=_PACK_SCHEMA
+    )
+    return packed.groupBy("part_id").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("bin_id") * F.lit(float(PACK_BUDGET)))
+        ).alias("mean_fill"),
+    )

@@ -118,3 +118,16 @@ def test_repetition_filter_flags_degenerate_doc(spark):
     got = {r.doc_id: r for r in per_doc.collect()}
     assert got[1].top / got[1].total == 1.0  # all-repeat doc
     assert got[2].top / got[2].total < 0.2
+
+
+def test_corpus_to_shards_pipeline(spark):
+    spec = registry.all_specs()["corpus_to_shards_pipeline"]
+    rows = spec.builder(spark, SF).collect()
+    assert rows and len(rows) <= 16
+    for r in rows:
+        assert 0 <= r.part_id < 16
+        assert 0.0 < r.mean_fill <= 1.0
+        assert r.total_tokens <= r.n_bins * PACK_BUDGET
+    # deterministic end to end
+    rows2 = spec.builder(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
