@@ -466,3 +466,127 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.col("deci"))).alias("n_distinct"),
         zip_dot.alias("zip_dot"),
     )
+
+
+@register(
+    "json_variant_get",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+               CAST(json_extract(props, '$.k') AS DOUBLE) / 10.0 AS k_scaled,
+               (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+        FROM events
+        WHERE user_id < 20
+    """,
+    doc="VARIANT semi-structured access (Spark 4): parse_json once into a "
+    "binary variant, then typed variant_get path extraction — the "
+    "open-schema ingestion pattern that replaces per-path string "
+    "re-parsing (each json_extract re-tokenizes the whole document; a "
+    "variant parses once and navigates an index). The oracle states the "
+    "same paths via DuckDB's JSON extraction. Missing paths yield NULL, "
+    "not errors — the semi-structured contract.",
+    tags=("json", "variant"),
+)
+def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        (F.variant_get(v, "$.k", "double") / F.lit(10.0)).alias("k_scaled"),
+        F.variant_get(v, "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+        WITH scoped AS (
+          SELECT user_id, ts, value FROM events
+          WHERE user_id < 5 AND event_type = 'error'
+        ),
+        bounds AS (
+          SELECT user_id,
+                 date_trunc('hour', min(ts)) AS t0,
+                 date_trunc('hour', max(ts)) AS t1
+          FROM scoped GROUP BY user_id
+        ),
+        spine AS (
+          SELECT user_id, unnest(generate_series(t0, t1,
+                 INTERVAL 10 MINUTE)) AS slot
+          FROM bounds
+        ),
+        slotted AS (
+          SELECT user_id, time_bucket(INTERVAL 10 MINUTE, ts) AS slot,
+                 CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                      AS BIGINT) AS obs_cents
+          FROM scoped GROUP BY user_id, slot
+        )
+        SELECT sp.user_id, sp.slot,
+               sl.obs_cents,
+               (sl.obs_cents IS NULL) AS is_gap,
+               last_value(sl.obs_cents IGNORE NULLS) OVER (
+                 PARTITION BY sp.user_id ORDER BY sp.slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_cents
+        FROM spine sp LEFT JOIN slotted sl
+          ON sl.user_id = sp.user_id AND sl.slot = sp.slot
+    """,
+    doc="Time-series gap fill: per-user 10-minute calendar spine "
+    "(sequence() generator — rows that DON'T exist in the source), left "
+    "join of bucketed observations, then forward-fill through the gaps "
+    "with last-IGNORE-NULLS. This is the canonical sensor/feature "
+    "regularization op: generator + outer join + carry-forward window, "
+    "all JVM-side. The spine generates from per-user bounds (not a "
+    "global calendar), so a 100 TB run generates ~rows-present × "
+    "fill-factor, never the cross product of all users × all time.",
+    tags=("window", "generator", "join", "timeseries"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 5) & (F.col("event_type") == "error")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 10 MINUTES"))
+        ).alias("slot"),
+    )
+    slotted = ev.groupBy(
+        "user_id",
+        F.window("ts", "10 minutes")["start"].alias("s_slot"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+            "obs_cents"
+        )
+    ).withColumnRenamed("user_id", "s_user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(
+            slotted,
+            (spine.user_id == F.col("s_user_id"))
+            & (spine.slot == F.col("s_slot")),
+            "left",
+        )
+        .select(
+            spine.user_id,
+            spine.slot,
+            "obs_cents",
+            F.col("obs_cents").isNull().alias("is_gap"),
+            F.last("obs_cents", ignorenulls=True).over(w).alias(
+                "filled_cents"
+            ),
+        )
+    )
