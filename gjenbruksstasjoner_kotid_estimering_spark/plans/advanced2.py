@@ -506,6 +506,7 @@ def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH scoped AS (
           SELECT user_id, ts, value FROM events
           WHERE user_id < 5 AND event_type = 'error'
+            AND ts < TIMESTAMP '2024-01-08 00:00:00'
         ),
         bounds AS (
           SELECT user_id,
@@ -548,7 +549,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(
-        (F.col("user_id") < 5) & (F.col("event_type") == "error")
+        (F.col("user_id") < 5)
+        & (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
     )
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),

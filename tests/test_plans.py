@@ -81,3 +81,68 @@ def test_whole_stage_codegen_active(spark, name):
         l for l in plan.splitlines() if l.lstrip("+- ").startswith("* ")
     ]
     assert starred, plan[:400]
+
+
+# --- round-2 additions: TPC-H wave + training-data lane plan shapes ---
+
+
+def test_tpch_q19_disjunction_still_pushes_down(spark):
+    # the OR'ed brand/size/qty predicate must not defeat single-side
+    # pushdown: quantity range reaches the lineitem scan, and the join
+    # stays broadcast
+    plan = _plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), pushed
+
+
+def test_tpch_q18_shape_broadcasts_survivors(spark):
+    # the HAVING survivor set must be the broadcast side into orders
+    plan = _plan(spark, "tpch_q18")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_semi_join(spark):
+    # EXISTS decorrelates to a semi join, not an inner join + distinct
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q16_anti_join(spark):
+    plan = _plan(spark, "tpch_q16")
+    assert "LeftAnti" in plan
+
+
+def test_tfidf_exact_exchange_budget(spark):
+    # doc_id hash partitioning is reused by the (doc_id, term) aggregate
+    # AND the ranking window (neither adds an exchange — was 5 before).
+    # Static plan shows ≤3: two identical doc_id fan_outs (tf and df
+    # branches — AQE's ReusedExchange collapses them at runtime) + the
+    # term-side aggregate.
+    plan = _plan(spark, "text_tfidf_exact")
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange\n.*", plan, re.M)
+    assert len(exchanges) <= 3, exchanges
+    # the window/final-aggregate stage reuses the doc_id partitioning:
+    # every exchange is either a doc_id fan_out or the term aggregate
+    assert all(("doc_id" in e) or ("term" in e) for e in exchanges), exchanges
+
+
+def test_repetition_filter_single_exchange(spark):
+    plan = _plan(spark, "text_repetition_filter")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    # <=> must plan as a (broadcast) hash join, not nested-loop
+    plan = _plan(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_is_arrow_grouped(spark):
+    plan = _plan(spark, "doc_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
