@@ -55,7 +55,7 @@ PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
                  AS redacted_len,
                substring(regexp_replace(regexp_replace(text, '{EMAIL_RE}',
                       '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
-                      length(text) - 60, 61) AS redacted_tail
+                      GREATEST(length(text) - 60, 1), 61) AS redacted_tail
         FROM aug
     """,
     doc="PII redaction: regex scrub of emails and phone numbers to typed "
@@ -95,8 +95,13 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0))
         ).alias("n_phones"),
         F.length(redacted).alias("redacted_len"),
+        # GREATEST(…, 1): a negative start silently switches substring to
+        # count-from-end semantics (differently per engine) — clamp so
+        # short docs stay cross-engine exact
         F.substring(
-            redacted, F.length("text") - F.lit(60), F.lit(61)
+            redacted,
+            F.greatest(F.length("text") - F.lit(60), F.lit(1)),
+            F.lit(61),
         ).alias("redacted_tail"),
     )
 
