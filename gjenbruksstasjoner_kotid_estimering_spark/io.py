@@ -107,3 +107,61 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    data_dir: str,
+    partition_cols: list[str],
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a partitioned parquet dataset.
+
+    The operational job every long-lived 100 TB table needs: streaming
+    micro-batches and per-key upserts accrete many small files per
+    partition; reads then pay per-file open/footer costs and lose scan
+    parallelism granularity. This rewrites each partition into
+    ``ceil(partition_bytes / target_bytes_per_file)`` files via a
+    partition-column repartition (one shuffle whose output IS the new
+    layout — no driver-side looping over partitions).
+
+    Returns {"files_before": n, "files_after": m} so callers/tests can
+    assert the consolidation. Idempotent: re-running on a compacted
+    dataset is a near-no-op rewrite with the same file count.
+    """
+    import glob as _glob
+    import math
+
+    df = spark.read.parquet(data_dir)
+    data_files = [
+        f
+        for f in _glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                            recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in data_files)
+    n_parts = max(
+        len(df.select(*partition_cols).distinct().limit(10000).collect()), 1
+    )
+    files_per_part = max(
+        1,
+        math.ceil(total_bytes / max(n_parts, 1) / target_bytes_per_file),
+    )
+    compacted = df.repartition(
+        n_parts * files_per_part, *[F.col(c) for c in partition_cols]
+    )
+    tmp = data_dir.rstrip("/") + "__compact_tmp"
+    compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    # atomic-ish swap (local fs; object stores would write to a new prefix
+    # and flip a pointer/manifest instead)
+    import shutil
+
+    shutil.rmtree(data_dir)
+    os.replace(tmp, data_dir)
+    after = [
+        f
+        for f in _glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                            recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(data_files), "files_after": len(after)}

@@ -53,3 +53,38 @@ def test_partitioned_write_prunes(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == ev.where(F.col("event_type") == "error").count()
+
+
+def test_compaction_consolidates_small_files(spark, tmp_path):
+    from gjenbruksstasjoner_kotid_estimering_spark.io import (
+        compact_partitioned,
+        load_table,
+    )
+
+    out = str(tmp_path / "events_part")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # simulate micro-batch accretion: 8 tiny writes per partition layout
+    for i in range(8):
+        ev.where(F.col("event_id") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).partitionBy("event_type").parquet(out)
+    before = spark.read.parquet(out)
+    before_rows = before.count()
+    before_sum = before.agg(F.sum("event_id")).collect()[0][0]
+
+    stats = compact_partitioned(
+        spark, out, ["event_type"], target_bytes_per_file=1 << 30
+    )
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("event_id")).collect()[0][0] == before_sum
+    # one file per partition at this tiny size
+    import glob
+
+    per_part = glob.glob(out + "/event_type=*/*.parquet")
+    parts = glob.glob(out + "/event_type=*")
+    assert len(per_part) <= len(parts) * 2

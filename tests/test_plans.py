@@ -146,3 +146,25 @@ def test_null_safe_join_stays_hash_join(spark):
 def test_pack_sequences_is_arrow_grouped(spark):
     plan = _plan(spark, "doc_pack_sequences")
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_results_invariant_to_join_strategy(spark):
+    # With auto-broadcast disabled, un-hinted joins fall back to
+    # SortMergeJoin; results must be identical — correctness can't depend
+    # on the physical strategy AQE happens to pick at some scale.
+    spec = registry.all_specs()["tpch_q5"]
+    default_rows = sorted(map(tuple, spec.builder(spark, SF).collect()))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spec.builder(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan  # the fallback actually engaged
+        forced_rows = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert forced_rows == default_rows
