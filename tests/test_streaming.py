@@ -184,3 +184,31 @@ def test_rocksdb_state_store(spark, tmp_path):
         assert arts, "no RocksDB state artifacts found"
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_flagship_equals_batch(spark, tmp_path):
+    """The stateless estimator chain must produce IDENTICAL rows whether
+    driven as a batch plan or as a checkpointed AvailableNow stream —
+    Structured Streaming's batch/stream equivalence, asserted on the
+    flagship itself."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.asof_interp import (
+        queue_estimate,
+    )
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming.estimate_stream import (
+        drain_to_parquet,
+        queue_estimate_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "est_out")
+    ckpt = str(tmp_path / "est_ckpt")
+    drain_to_parquet(queue_estimate_stream(spark, sf), out, ckpt)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, queue_estimate(spark, sf).collect()))
+    assert got == want
+
+    # re-drain with the same checkpoint: no new files → output unchanged
+    drain_to_parquet(queue_estimate_stream(spark, sf), out, ckpt)
+    again = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert again == got
