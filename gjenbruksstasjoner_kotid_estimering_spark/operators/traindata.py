@@ -569,3 +569,82 @@ def corpus_to_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.countDistinct("bin_id") * F.lit(float(PACK_BUDGET)))
         ).alias("mean_fill"),
     )
+
+
+@register(
+    "text_vocab_encode",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, t.tok, CAST(t.pos - 1 AS BIGINT) AS pos
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                          (x, i) -> {'tok': x, 'pos': i})) AS t
+            FROM documents
+          )
+        ),
+        freq AS (
+          SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ),
+        vocab AS (
+          SELECT tok,
+                 row_number() OVER (ORDER BY n DESC, tok) - 1 AS token_id
+          FROM freq
+        )
+        SELECT toks.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(v.token_id) AS BIGINT) AS ids_sum,
+               string_agg(CAST(v.token_id AS VARCHAR), ','
+                          ORDER BY toks.pos) FILTER (WHERE toks.pos < 8)
+                 AS ids_head
+        FROM toks JOIN vocab v ON v.tok = toks.tok
+        GROUP BY toks.doc_id
+    """,
+    doc="Vocabulary build + token-id encoding — the tokenize-to-ids step "
+    "that turns a filtered corpus into model input: dense ids assigned by "
+    "(frequency DESC, term ASC) — the deterministic vocab order every "
+    "tokenizer trainer uses — then each document encoded positionally. "
+    "The vocab is vocabulary-sized (tiny) and BROADCAST back into the "
+    "fact-sized (doc, token, pos) stream, so the only big shuffle is the "
+    "per-doc re-assembly; ids_head restores token ORDER via a "
+    "position-sorted fold (collect_list alone is unordered — the "
+    "canonical-order trap). All-integer outputs hash exactly.",
+    tags=("text", "tokens", "vocab", "join"),
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = freq.select(
+        "tok",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("tok"))
+            )
+            - 1
+        ).alias("token_id"),
+    )
+    encoded = toks.join(F.broadcast(vocab), "tok")
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("token_id").alias("ids_sum"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos") < 8,
+                            F.struct(F.col("pos"), F.col("token_id")),
+                        )
+                    )
+                ),
+                lambda e: e.token_id.cast("string"),
+            ),
+        ).alias("ids_head"),
+    )

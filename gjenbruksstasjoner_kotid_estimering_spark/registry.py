@@ -87,6 +87,7 @@ def _load_all() -> None:
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
+    from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
     from .plans import (  # noqa: F401

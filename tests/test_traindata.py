@@ -131,3 +131,45 @@ def test_corpus_to_shards_pipeline(spark):
     # deterministic end to end
     rows2 = spec.builder(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pagerank_invariants(spark):
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    ranks = {
+        r.node: r.rank
+        for r in registry.all_specs()["graph_pagerank"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert ranks
+    # mass conservation: undirected graph has no dangling nodes, so total
+    # rank mass stays ~1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert all(r > 0 for r in ranks.values())
+    # a known 3-node line graph: the middle node must outrank the ends
+    line = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], schema="user_a long, user_b long, weight long"
+    )
+    lr = {r.node: r.rank for r in pagerank(line, n_iter=30).collect()}
+    assert lr[2] > lr[1] and lr[2] > lr[3]
+    assert abs(lr[1] - lr[3]) < 1e-9  # symmetry
+
+
+def test_vocab_encode_known_corpus(spark):
+    from unittest import mock
+
+    import gjenbruksstasjoner_kotid_estimering_spark.operators.traindata as td
+
+    docs = spark.createDataFrame(
+        [(0, "b a a"), (1, "a c")], schema="doc_id long, text string"
+    )
+    with mock.patch.object(td, "load_table", lambda s, d, n: docs):
+        out = {r.doc_id: r for r in td.text_vocab_encode(spark, "x").collect()}
+    # freq: a=3 → id 0; b=1, c=1 → tie broken by term: b=1, c=2
+    assert out[0].ids_head == "1,0,0"
+    assert out[1].ids_head == "0,2"
+    assert out[0].ids_sum == 1 and out[1].ids_sum == 2
