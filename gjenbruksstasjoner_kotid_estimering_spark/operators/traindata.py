@@ -620,14 +620,35 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    vocab = freq.select(
+    # Global dense ids WITHOUT a single-partition window (the naive
+    # Window.orderBy(...) funnels the whole vocabulary through one task —
+    # fatal for a 10M-term vocab): range-partition by the sort key, rank
+    # locally per partition, then add broadcast per-partition offsets.
+    # Range partitions tile the global order, so offset + local rank IS
+    # the global rank regardless of where the sampled boundaries fall.
+    by_rank = freq.repartitionByRange(
+        8, F.col("n").desc(), F.col("tok")
+    ).withColumn("pid", F.spark_partition_id())
+    local = by_rank.withColumn(
+        "local_rank",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.col("n").desc(), F.col("tok"))
+        ),
+    ).localCheckpoint(eager=True)  # pin partitioning: pid must not re-derive
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], schema="pid int, offset long"
+    )
+    vocab = local.join(F.broadcast(off_df), "pid").select(
         "tok",
-        (
-            F.row_number().over(
-                Window.orderBy(F.col("n").desc(), F.col("tok"))
-            )
-            - 1
-        ).alias("token_id"),
+        (F.col("offset") + F.col("local_rank") - 1).alias("token_id"),
     )
     encoded = toks.join(F.broadcast(vocab), "tok")
     return encoded.groupBy("doc_id").agg(
