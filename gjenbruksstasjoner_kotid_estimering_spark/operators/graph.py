@@ -79,13 +79,13 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             trans.join(ranks, trans.u == ranks.node)
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_mass"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -96,6 +96,23 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # convergence early-exit every 2nd round: small/low-diameter
+        # graphs stop well before the cap — one tiny L1-delta aggregate
+        # against node-sized frames, far cheaper than a wasted round
+        if i % 2 == 1 or i == n_iter - 1:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(
+                    F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < 1e-7:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 
