@@ -123,7 +123,8 @@ def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_projection",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS DOUBLE) * (1.0 / 255.0) AS norm_qty,
+               CAST(l_quantity AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) / CAST(255.0 AS DOUBLE)) AS norm_qty,
                CAST(l_linenumber AS DOUBLE) AS linenumber_d
         FROM lineitem
     """,
