@@ -39,14 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds
-    # (session.RUNTIME_CONFS). Rebuild the timestamp at µs precision —
-    # lossless for this corpus, and µs is what DuckDB/pandas compare at.
+    # Timestamp normalization: the driver regenerates testdata between
+    # rounds and the parquet annotation has drifted — round 1 wrote
+    # TIMESTAMP(NANOS) (arrives as long nanos under
+    # spark.sql.legacy.parquet.nanosAsLong, session.RUNTIME_CONFS); round 2+
+    # writes TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads
+    # as TIMESTAMP_NTZ. Everything downstream (unix_micros, withWatermark,
+    # window()) requires plain TIMESTAMP, so normalize both lanes here —
+    # lossless because the session timezone is pinned UTC (session.py).
+    fixes = {}
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumns(
-            {"ts": F.expr("timestamp_micros(ts div 1000)")}
-        )
+        fixes["ts"] = F.expr("timestamp_micros(ts div 1000)")
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            fixes[col] = F.col(col).cast("timestamp")
+    if fixes:
+        df = df.withColumns(fixes)
     return df
 
 

@@ -68,8 +68,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Same timestamp normalization as io.load_table: ts has arrived as long
+    # nanos (round-1 testdata) and as TIMESTAMP_NTZ (round-2+ testdata);
+    # watermarks/window() require plain TIMESTAMP.
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumns({"ts": F.expr("timestamp_micros(ts div 1000)")})
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumns({"ts": F.col("ts").cast("timestamp")})
     return stream
 
 
