@@ -37,19 +37,32 @@ def main() -> None:
 
     # Warm the JVM / codegen / parquet footer caches with a trivial action
     # so the first measured query doesn't pay session startup.
-    load_table(spark, sf_dir, "region").count()
+    try:
+        load_table(spark, sf_dir, "region").count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     specs = registry.all_specs()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(specs):
         # builder() inside the timed region: some builders do real work
         # (MLlib fits, iterative collects, count() scalars) before the
         # plan exists — timing only the final action would under-report
         # them.
+        #
+        # Per-query exception guard: one broken query must never kill the
+        # whole sweep (round 2: a single AnalysisException crashed the run
+        # and the driver got NO bench artifact — rc 1, parsed null).
+        # Record the error, keep sweeping, always exit 0 with the JSON line.
         t0 = time.perf_counter()
-        df = specs[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = specs[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -59,6 +72,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,
+        "errors": errors,
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -66,18 +80,18 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "full queries() sweep wall time",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": slowest,
-                "sf": sf_val,
-            }
-        )
-    )
+    line = {
+        "metric": "full queries() sweep wall time",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": slowest,
+        "sf": sf_val,
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+        line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
