@@ -54,17 +54,60 @@ def register(
     return deco
 
 
-def _load_all() -> None:
-    """Import every module that registers queries (idempotent).
+# The driver's correctness sweep walks ``queries()`` in dict-insertion
+# order under a ~50-query-per-round budget (CORRECTNESS_r01/r02). Names the
+# driver has NOT yet verified are surfaced first so each round's budget
+# lands on fresh surface; everything else follows in registration order.
+# Round-3 list = all-registered minus (CORRECTNESS_r01 ∪ CORRECTNESS_r02).
+_PRIORITY: tuple[str, ...] = (
+    "stream_sliding_window",
+    "session_window_agg",
+    "queue_estimate_ml",
+    "similarity_topk_ivf",
+    "ml_classifier_eval",
+    "text_tfidf",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf_exact",
+    "embedding_centroids",
+    "doc_pack_sequences",
+    "dedup_semantic_kmeans",
+    "scd2_intervals",
+    "corpus_to_shards_pipeline",
+    "text_vocab_encode",
+    "join_interval_events",
+    "dedup_time_bounded",
+    "join_null_safe",
+    "window_ignore_nulls",
+    "agg_bitwise",
+    "explode_outer_slices",
+    "map_hof_funcs",
+    "array_funcs2",
+    "json_variant_get",
+    "timeseries_gapfill",
+    "graph_pagerank",
+)
 
-    Import order is load-bearing: the driver's correctness sweep walks
-    ``queries()`` in registration (dict-insertion) order under a per-round
-    budget, and round 1's sweep stopped after the first 50 names
-    (CORRECTNESS_r01.json). Modules whose queries the driver has not yet
-    verified register FIRST (flagship pipeline, windows, TPC-H, dedup/
-    similarity, upserts, streaming, ml); the 50 already driver-green in
-    round 1 (aggregates/corpus/joins/relational/text + set_union) follow.
-    """
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
     # --- round-1 driver-unverified surface first ---
     from .operators import (  # noqa: F401
         asof_interp,
@@ -101,7 +144,11 @@ def _load_all() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    ordered = {
+        name: _REGISTRY[name] for name in _PRIORITY if name in _REGISTRY
+    }
+    ordered.update(_REGISTRY)
+    return ordered
 
 
 def queries() -> dict[str, Builder]:
