@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
@@ -34,15 +35,46 @@ DAMPING = 0.85
 N_ITERATIONS = 10
 
 
-def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+MAX_USERS_PER_GROUP = 256
+
+
+def cooccurrence_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    max_users_per_group: int = MAX_USERS_PER_GROUP,
+) -> DataFrame:
     """(user_a, user_b, weight) undirected co-occurrence edges: users with
     events at the same station-day (coarse buckets: the sf0.001 corpus is
-    too sparse for hourly co-occurrence)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("user_id") % 10).alias("station"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.col("user_id").alias("user"),
-    ).distinct()
+    too sparse for hourly co-occurrence).
+
+    Scale guard: the self-join emits O(k²) pairs per station-day group, so
+    a single hot group (k=10⁵ co-occurring users at 100 TB) would produce
+    10¹⁰ pairs before the groupBy. Standard co-occurrence practice caps the
+    group: keep only the ``max_users_per_group`` most-active users per
+    station-day (row_number over an activity window, ties broken by user id
+    for determinism) before pairing. Pairs per group are then bounded by
+    K(K-1)/2 regardless of skew — asserted in tests/test_graph_scale.py —
+    and the hub structure PageRank cares about is preserved, since the
+    dropped tail is the least-active users.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 10).alias("station"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("user_id").alias("user"),
+        )
+        .groupBy("station", "day", "user")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("station", "day").orderBy(
+        F.col("n_events").desc(), F.col("user").asc()
+    )
+    ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_users_per_group)
+        .select("station", "day", "user")
+    )
     a = ev.select("station", "day", F.col("user").alias("user_a"))
     b = ev.select("station", "day", F.col("user").alias("user_b"))
     return (
