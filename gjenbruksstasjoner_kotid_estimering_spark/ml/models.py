@@ -278,28 +278,35 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "text", "tfidf"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml import Pipeline
+    from pyspark import StorageLevel
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
-    d = load_table(spark, sf_dir, "documents")
-    pipe = Pipeline(
-        stages=[
-            Tokenizer(inputCol="text", outputCol="_toks"),
-            HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=1 << 12),
-            IDF(inputCol="_tf", outputCol="_tfidf"),
-        ]
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Staged rather than Pipeline(...).fit: fit+transform through a Pipeline
+    # tokenizes and hashes the corpus TWICE (once for the IDF fit scan, once
+    # for the output scan). Persisting the TF frame makes that one pass —
+    # this was a measured 2× on the sweep (round-2 verdict perf item).
+    toks = Tokenizer(inputCol="text", outputCol="_toks").transform(d)
+    tf = (
+        HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=1 << 12)
+        .transform(toks)
+        .select("doc_id", "_tf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    fitted = pipe.fit(d)
-    out = fitted.transform(d)
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array("_tfidf")
-    nonzero = F.filter(arr, lambda x: x != 0.0)
+    out = IDF(inputCol="_tf", outputCol="_tfidf").fit(tf).transform(tf)
+    # Summarize from the SPARSE representation (unwrap_udt exposes the
+    # VectorUDT struct): the lambdas walk only the ~stored values per doc,
+    # not a densified 4096-slot array. Explicit zeros (idf=0 for ubiquitous
+    # tokens) are filtered the same way the dense path skipped them;
+    # max_weight coalesces to 0.0 to match dense-array semantics for empty
+    # docs (tf-idf weights are never negative).
+    vals = F.unwrap_udt(F.col("_tfidf")).getField("values")
+    nonzero = F.filter(vals, lambda x: x != 0.0)
     return out.select(
         "doc_id",
         F.size(nonzero).alias("nnz"),
         F.sqrt(
-            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+            F.aggregate(nonzero, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("l2_norm"),
-        F.array_max(arr).alias("max_weight"),
+        F.coalesce(F.array_max(vals), F.lit(0.0)).alias("max_weight"),
     )
