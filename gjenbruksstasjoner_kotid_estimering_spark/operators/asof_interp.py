@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
 from ..functions import estimator as est
 from ..io import load_table
 from ..registry import register
@@ -199,7 +200,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.unix_micros("ts").alias("us"),
+        epoch_us("ts").alias("us"),
     )
     w = (
         W.partitionBy("user_id")

@@ -1,0 +1,219 @@
+"""Training-data pipeline operators, round 3: benchmark decontamination,
+incremental (new-batch) dedup, deterministic stratified sampling, and
+data-mixture weighting.
+
+These are the remaining corpus-curation stages a production LLM data
+pipeline runs that rounds 1-2 didn't cover (plans/text.py quality lane,
+operators/dedup.py near-dup lane, operators/traindata.py packing/PII
+lane): removing evaluation-set contamination before training, deduping a
+new crawl batch against the already-ingested corpus instead of
+re-deduping everything, down-sampling strata deterministically (so the
+sample is reproducible run-to-run with no RNG state), and computing the
+per-source resampling weights that hit a target corpus mixture.
+
+All four are oracle-checked: every hash is md5 (the Spark∩DuckDB portable
+digest, same trick as dedup_ngram_jaccard), ratios are single double
+divisions of exact integer counts in identical operand order on both
+engines, and n-gram generation mirrors JACCARD_ORACLE_CTES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_col
+from ..io import fan_out, load_table
+from ..registry import register
+from .dedup import shingles_col
+
+# Benchmark membership for decontamination: every 97th doc plays the role
+# of an evaluation/benchmark document. In production this side is the
+# actual eval suites (MMLU/GSM8K/...), always tiny relative to the corpus
+# — which is why the gram set broadcasts.
+BENCH_MOD = 97
+DECONTAM_K = 3  # synthetic corpus is short random text; real pipelines use 8-13
+
+# Deterministic stratified sampling rates (percent kept per lang stratum).
+SAMPLE_RATES: dict[str, int] = {"en": 50, "zh": 25}
+SAMPLE_RATE_DEFAULT = 10
+
+
+def _md5_bucket(col: Column) -> Column:
+    """Deterministic 0-99 bucket from md5 — portable across Spark/DuckDB
+    (14 hex chars = 56 bits, fits BIGINT on both engines)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   list_transform(t,
+                     (x, i) -> CASE WHEN i + {DECONTAM_K - 1} <= len(t)
+                               THEN x || ' ' || t[i + 1] || ' ' || t[i + 2]
+                               END),
+                   y -> y IS NOT NULL)) AS gs
+          FROM toks
+        ),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams
+               WHERE doc_id % {BENCH_MOD} = 0),
+        dg AS (SELECT doc_id, unnest(gs) AS g FROM grams
+               WHERE doc_id % {BENCH_MOD} <> 0)
+        SELECT dg.doc_id,
+               CAST(count(DISTINCT dg.g) AS BIGINT) AS n_contaminated_ngrams
+        FROM dg JOIN bg ON dg.g = bg.g
+        GROUP BY dg.doc_id
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any "
+    f"word {DECONTAM_K}-gram with the benchmark set (doc_id % {BENCH_MOD} "
+    "== 0 stands in for the eval suites). Scale shape: the benchmark gram "
+    "set is tiny → broadcast hash join against the exploded corpus grams; "
+    "the corpus side never shuffles. Real pipelines use 8-13-grams; k=3 "
+    "here because the synthetic corpus is short random text.",
+    tags=("text", "decontamination", "traindata"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = d.select(
+        "doc_id",
+        F.explode(shingles_col(F.col("text"), k=DECONTAM_K)).alias("g"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_ngrams"))
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        existing AS (SELECT DISTINCT fp FROM d
+                     WHERE source IN ('src0', 'src1')),
+        novel AS (
+          SELECT * FROM d
+          WHERE source NOT IN ('src0', 'src1')
+            AND fp NOT IN (SELECT fp FROM existing)
+        )
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+        FROM novel GROUP BY fp
+    """,
+    doc="Incremental dedup: a new crawl batch (source NOT IN src0/src1) is "
+    "deduped against the already-ingested corpus (src0/src1) by exact "
+    "md5 fingerprint — anti join on the fingerprint — then within itself "
+    "(min doc_id per fingerprint). The production shape for daily "
+    "ingestion: the existing corpus contributes only its fingerprint "
+    "column (8-byte-ish shuffle payload), never the text, and nothing is "
+    "re-deduped from scratch.",
+    tags=("dedup", "incremental", "traindata"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    is_existing = F.col("source").isin("src0", "src1")
+    existing = d.where(is_existing).select("fp").distinct()
+    novel = d.where(~is_existing).join(existing, "fp", "left_anti")
+    return novel.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "fp"
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              % 100
+              < CASE lang WHEN 'en' THEN {SAMPLE_RATES["en"]}
+                          WHEN 'zh' THEN {SAMPLE_RATES["zh"]}
+                          ELSE {SAMPLE_RATE_DEFAULT} END
+    """,
+    doc="Deterministic stratified sampling: keep N% per lang stratum "
+    "(en 50 / zh 25 / rest 10) by thresholding an md5-derived 0-99 bucket "
+    "of the doc id — no RNG, so the sample is identical run-to-run and "
+    "engine-to-engine (unlike sampleBy, whose seed semantics are "
+    "engine-private — cf. the rows-only sampleBy variant "
+    "sample_stratified). Pure narrow projection+filter: zero shuffles at "
+    "any scale, filter pushes to the scan.",
+    tags=("sampling", "traindata"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATES["en"])).when(
+        F.col("lang") == "zh", F.lit(SAMPLE_RATES["zh"])
+    ).otherwise(F.lit(SAMPLE_RATE_DEFAULT))
+    return d.where(_md5_bucket(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+        WITH per_src AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                 AS share,
+               (1.0 / CAST(n_sources AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+                 AS weight
+        FROM per_src, tot
+    """,
+    doc="Data-mixture weighting: per-source token counts, corpus share, "
+    "and the resampling weight that equalizes the mixture (target = "
+    "uniform across sources; weight = target_share / actual_share — >1 "
+    "upsample, <1 downsample). The knob every LLM pretraining run tunes. "
+    "Shape: one partial-aggregated groupBy on source + a broadcast 1-row "
+    "totals join; float ops in identical operand order on both engines so "
+    "the driver hash matches exactly.",
+    tags=("traindata", "mixture"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("share"),
+        ((F.lit(1.0) / F.col("n_sources").cast("double")) / share).alias(
+            "weight"
+        ),
+    )

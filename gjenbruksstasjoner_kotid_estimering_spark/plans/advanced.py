@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
 from ..io import load_table, register_views
 from ..registry import register
 
@@ -310,7 +311,7 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+        "user_id", "ts", "event_id", epoch_us("ts").alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.withColumn(

@@ -103,6 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "json_variant_get",
     "timeseries_gapfill",
     "graph_pagerank",
+    # round-3 additions (never seen by any driver round)
+    "text_decontaminate",
+    "dedup_incremental",
+    "sample_stratified_exact",
+    "corpus_mixture_weights",
 )
 
 
@@ -129,6 +134,7 @@ def _load_all() -> None:
     from .ml import models  # noqa: F401
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions
+    from .operators import traindata2  # noqa: F401  # round-3 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 

@@ -28,9 +28,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension/calibration tables are tiny; make sure Catalyst broadcasts.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    # The driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
-    # Spark rejects by default; read it as long nanos and rebuild the
-    # timestamp in io.load_table (micros — the corpus is µs-grained).
+    # Testdata timestamp drift guard: round-1 testdata wrote events.ts as
+    # parquet TIMESTAMP(NANOS), which Spark rejects by default — this conf
+    # reads it as long nanos and io.load_table rebuilds the timestamp.
+    # Round-2+ testdata writes TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # (→ TIMESTAMP_NTZ, also normalized in load_table); the conf stays as a
+    # no-op backstop in case a regeneration flips back to NANOS.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # InferFiltersFromGenerate adds size(e)>0 below every explode(e); when
     # e is a computed array (shingles, token arrays) predicate pushdown
