@@ -90,11 +90,15 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
     )
+    # count, not countDistinct: shingles_col is array_distinct per doc, so
+    # the values are identical — but countDistinct would force an extra
+    # corpus-wide (doc_id, g) dedup exchange, while count partial-aggregates
+    # map-side and shuffles only doc-sized partial counts.
     return (
         grams.where(F.col("doc_id") % BENCH_MOD != 0)
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_contaminated_ngrams"))
+        .agg(F.count("g").alias("n_contaminated_ngrams"))
     )
 
 
