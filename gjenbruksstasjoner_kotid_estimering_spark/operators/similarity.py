@@ -179,11 +179,11 @@ _PV_BAND_SELECTS = "\n          UNION ALL ".join(
     for b in range(PV_BANDS)
 )
 
-
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-        WITH base AS (
+# Shared oracle CTE prefix: base vectors → pivots → sign-bit buckets →
+# banded rows. dedup_embedding_cosine and similarity_knn_join both build
+# their candidate sets from these EXACT frames, so the LSH stage is part
+# of the cross-engine contract for both.
+PIVOT_BANDS_ORACLE_CTES = f"""base AS (
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
@@ -202,17 +202,75 @@ _PV_BAND_SELECTS = "\n          UNION ALL ".join(
           FROM base CROSS JOIN pv
         ),
         bands AS ({_PV_BAND_SELECTS}),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM bands a JOIN bands b
-            ON a.band_id = b.band_id AND a.band_val = b.band_val
-               AND a.vec_id < b.vec_id
-        ),
         normed AS (
           SELECT vec_id, v,
                  sqrt(list_aggregate(list_transform(v, (x, i) -> x * v[i]),
                       'sum')) AS norm
           FROM base
+        )"""
+
+
+def _pivot_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+
+
+def _pivot_bands(base: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_val) pivot-sign LSH bands (Spark twin of
+    PIVOT_BANDS_ORACLE_CTES's ``bands``)."""
+    pivots = (
+        base.where(F.col("vec_id") < N_PIVOTS)
+        .groupBy()
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("pv")
+        )
+        .select(F.transform("pv", lambda s: s["v"]).alias("pivots"))
+    )
+    bits = F.array_join(
+        F.transform(
+            "pivots",
+            lambda p: F.when(_fold_dot(F.col("v"), p) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    bucketed = base.crossJoin(F.broadcast(pivots)).select(
+        "vec_id", bits.alias("bits")
+    )
+    return bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring(
+                            "bits", b * PV_BAND_BITS + 1, PV_BAND_BITS
+                        ).alias("band_val"),
+                    )
+                    for b in range(PV_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+
+
+def _pivot_normed(base: DataFrame) -> DataFrame:
+    return base.select(
+        "vec_id", "v", F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH {PIVOT_BANDS_ORACLE_CTES},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id
         ),
         scored AS (
           SELECT c.vec_a, c.vec_b,
@@ -235,44 +293,8 @@ _PV_BAND_SELECTS = "\n          UNION ALL ".join(
     tags=("dedup", "similarity", "cosine", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    pivots = (
-        base.where(F.col("vec_id") < N_PIVOTS)
-        .groupBy()
-        .agg(
-            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("pv")
-        )
-        .select(F.transform("pv", lambda s: s["v"]).alias("pivots"))
-    )
-    bits = F.array_join(
-        F.transform(
-            "pivots",
-            lambda p: F.when(_fold_dot(F.col("v"), p) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            ),
-        ),
-        "",
-    )
-    bucketed = base.crossJoin(F.broadcast(pivots)).select(
-        "vec_id", bits.alias("bits")
-    )
-    bands = bucketed.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.substring(
-                            "bits", b * PV_BAND_BITS + 1, PV_BAND_BITS
-                        ).alias("band_val"),
-                    )
-                    for b in range(PV_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+    base = _pivot_base(spark, sf_dir)
+    bands = _pivot_bands(base)
     lb, rb = bands.alias("lb"), bands.alias("rb")
     cand = (
         lb.join(
@@ -284,9 +306,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lb.vec_id").alias("vec_a"), F.col("rb.vec_id").alias("vec_b"))
         .distinct()
     )
-    normed = base.select(
-        "vec_id", "v", F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("norm")
-    )
+    normed = _pivot_normed(base)
     na, nb = normed.alias("na"), normed.alias("nb")
     scored = (
         cand.join(na, F.col("vec_a") == F.col("na.vec_id"))
@@ -301,3 +321,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("cosine") > COSINE_DUP_THRESHOLD)
+
+
+# knn-join: every 50th vector plays the query set (retrieval / RAG-index
+# evaluation / dedup-against-seed workloads all have this many-queries
+# shape, vs similarity_topk's single query).
+KNN_QUERY_MOD = 50
+KNN_K = 5
+
+
+@register(
+    "similarity_knn_join",
+    oracle=f"""
+        WITH {PIVOT_BANDS_ORACLE_CTES},
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM bands q JOIN bands c
+            ON q.band_id = c.band_id AND q.band_val = c.band_val
+          WHERE q.vec_id % {KNN_QUERY_MOD} = 0
+            AND c.vec_id % {KNN_QUERY_MOD} <> 0
+        ),
+        scored AS (
+          SELECT cand.qid, cand.nid,
+                 list_aggregate(list_transform(a.v, (x, i) -> x * b.v[i]),
+                     'sum') / (a.norm * b.norm) AS cosine
+          FROM cand
+          JOIN normed a ON a.vec_id = cand.qid
+          JOIN normed b ON b.vec_id = cand.nid
+        ),
+        ranked AS (
+          SELECT qid, nid, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, nid) AS rk
+          FROM scored
+        )
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rk AS INT) AS rank, cosine
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    doc=f"Batch ANN join: top-{KNN_K} cosine neighbors for EVERY query "
+    f"vector (vec_id % {KNN_QUERY_MOD} == 0) at once — the many-query "
+    "retrieval shape (RAG index eval, dedup-against-seed-set), vs "
+    "similarity_topk's single probe. Pivot-sign LSH proposes bucket-mate "
+    "candidates (the same engine-portable contract as "
+    "dedup_embedding_cosine, so the candidate set itself is oracle-"
+    "checked); exact ordered-fold cosine scores only candidates; per-query "
+    "row_number (cosine desc, id tiebreak) keeps k. Scale shape: no "
+    "corpus×query cross join anywhere — band hash-join, candidate-sized "
+    "scoring, and a per-query WindowGroupLimit.",
+    tags=("similarity", "knn", "lsh", "join"),
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _pivot_base(spark, sf_dir)
+    bands = _pivot_bands(base)
+    is_query = F.col("vec_id") % KNN_QUERY_MOD == 0
+    qb = bands.where(is_query).select(
+        F.col("vec_id").alias("qid"), "band_id", "band_val"
+    )
+    cb = bands.where(~is_query)
+    cand = (
+        qb.join(cb, ["band_id", "band_val"])
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    normed = _pivot_normed(base)
+    na, nb = normed.alias("na"), normed.alias("nb")
+    scored = (
+        cand.join(na, F.col("qid") == F.col("na.vec_id"))
+        .join(nb, F.col("nid") == F.col("nb.vec_id"))
+        .select(
+            "qid",
+            "nid",
+            (
+                _fold_dot(F.col("na.v"), F.col("nb.v"))
+                / (F.col("na.norm") * F.col("nb.norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+        )
+    )

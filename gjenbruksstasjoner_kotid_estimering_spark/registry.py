@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "sample_stratified_exact",
     "corpus_mixture_weights",
+    "similarity_knn_join",
 )
 
 
