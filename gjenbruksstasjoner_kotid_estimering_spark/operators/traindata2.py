@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count_col
+from ..functions.text import token_count_col, tokens_col
 from ..io import fan_out, load_table
 from ..registry import register
 from .dedup import shingles_col
@@ -220,4 +220,63 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(1.0) / F.col("n_sources").cast("double")) / share).alias(
             "weight"
         ),
+    )
+
+
+CHUNK_SIZE = 32  # tokens per chunk (short synthetic docs; prod: 512-8192)
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS t
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - {CHUNK_SIZE}, 0)
+                                 + {CHUNK_STRIDE} + 1, {CHUNK_STRIDE})) AS s
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(least({CHUNK_SIZE}, len(t) - s + 1) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(t[s:least(s + {CHUNK_SIZE} - 1, len(t))], ' ')
+                 AS chunk_text
+        FROM starts
+    """,
+    doc=f"Sliding-window chunking: each document becomes ceil-strided "
+    f"chunks of {CHUNK_SIZE} tokens with {CHUNK_SIZE - CHUNK_STRIDE}-token "
+    "overlap (the RAG-index / pretraining-context chunker). Pure JVM "
+    "sequence+slice+explode — one Generate, no shuffle at all; chunk "
+    "provenance (doc_id, chunk_id) survives for span rehydration. The "
+    "final partial chunk is kept (standard: trailing tokens must land in "
+    "some context window).",
+    tags=("text", "chunking", "traindata"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = tokens_col(F.col("text"))
+    # last start = 1 + ceil((n - CHUNK_SIZE)/stride)*stride: one window past
+    # full coverage, so trailing tokens land in a final partial chunk
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - CHUNK_SIZE, F.lit(0)) + F.lit(CHUNK_STRIDE),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_SIZE), F.size("t") - F.col("s") + 1
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("t", F.col("s"), F.lit(CHUNK_SIZE))
+            ).alias("chunk_text"),
+        )
     )

@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified_exact",
     "corpus_mixture_weights",
     "similarity_knn_join",
+    "doc_chunk_overlap",
 )
 
 

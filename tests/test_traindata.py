@@ -173,3 +173,40 @@ def test_vocab_encode_known_corpus(spark):
     assert out[0].ids_head == "1,0,0"
     assert out[1].ids_head == "0,2"
     assert out[0].ids_sum == 1 and out[1].ids_sum == 2
+
+
+def test_chunk_overlap_covers_every_token(spark, tmp_path):
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata2 import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(50)), "en", "srcX", 0),
+        (2, " ".join(f"w{i}" for i in range(32)), "en", "srcX", 0),  # exactly one chunk
+        (3, "a b", "en", "srcX", 0),  # shorter than one chunk
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    chunks = doc_chunk_overlap(spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    # doc 1 (50 tokens): starts 1, 25 → sizes 32, 26; tail covered
+    d1 = sorted(by_doc[1], key=lambda c: c.chunk_id)
+    assert [c.n_tokens for c in d1] == [32, 26]
+    assert d1[-1].chunk_text.endswith("w49")
+    # every token of doc 1 appears in some chunk
+    covered = set()
+    for c in d1:
+        covered.update(c.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(50)}
+    # overlap between consecutive chunks is CHUNK_SIZE - CHUNK_STRIDE
+    assert set(d1[0].chunk_text.split()) & set(d1[1].chunk_text.split()) == {
+        f"w{i}" for i in range(CHUNK_STRIDE, CHUNK_SIZE)
+    }
+    # doc 2: one exact chunk; doc 3: one partial chunk
+    assert [c.n_tokens for c in by_doc[2]] == [32]
+    assert [c.n_tokens for c in by_doc[3]] == [2]
