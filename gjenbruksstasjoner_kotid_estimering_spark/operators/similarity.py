@@ -381,8 +381,12 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "band_id", "band_val"
     )
     cb = bands.where(~is_query)
+    # the query set is the small side by definition (eval suites / probe
+    # batches vs the full corpus): broadcast it so the corpus bands never
+    # shuffle, at any corpus size
     cand = (
-        qb.join(cb, ["band_id", "band_val"])
+        F.broadcast(qb)
+        .join(cb, ["band_id", "band_val"])
         .select("qid", F.col("vec_id").alias("nid"))
         .distinct()
     )
