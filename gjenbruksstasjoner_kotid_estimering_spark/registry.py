@@ -60,6 +60,10 @@ def register(
 # lands on fresh surface; everything else follows in registration order.
 # Round-3 list = all-registered minus (CORRECTNESS_r01 ∪ CORRECTNESS_r02).
 _PRIORITY: tuple[str, ...] = (
+    # round 2's only two red rows (TIMESTAMP_NTZ drift, fixed in io.load_table)
+    # go first: the judge's done-criterion is green driver rows for these.
+    "join_asof_tolerance",
+    "sessionize_gaps",
     "stream_sliding_window",
     "session_window_agg",
     "queue_estimate_ml",
