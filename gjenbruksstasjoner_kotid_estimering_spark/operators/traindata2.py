@@ -280,3 +280,40 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest,
+               lower(substring(hex(encode(text)), 1, 8)) AS head_hex,
+               CASE WHEN substring(hex(encode(text)), 1, 2) IN ('FF', '89')
+                    THEN 'image-magic' ELSE 'other' END AS kind
+        FROM documents
+    """,
+    doc="Opaque-binary column operations — the multimodal lane's typed-"
+    "metadata path made oracle-exact: byte length, content digest, and "
+    "magic-byte sniffing (the dispatch a mixed image/audio/text corpus "
+    "does before routing blobs to a decoder) over a BinaryType column. "
+    "The binary payload here is the UTF-8 encoding of documents.text so "
+    "both engines see identical bytes; real blobs flow through the same "
+    "expressions (sources/images.py handles the actual image fixture "
+    "lane). Pure projection: zero shuffles, codegen end to end.",
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    head = F.substring(F.hex(bin_col), 1, 8)
+    return d.select(
+        "doc_id",
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.md5(bin_col).alias("digest"),
+        F.lower(head).alias("head_hex"),
+        F.when(
+            F.substring(F.hex(bin_col), 1, 2).isin("FF", "89"),
+            F.lit("image-magic"),
+        ).otherwise(F.lit("other")).alias("kind"),
+    )

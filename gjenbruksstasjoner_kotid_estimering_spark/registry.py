@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_weights",
     "similarity_knn_join",
     "doc_chunk_overlap",
+    "multimodal_binary_stats",
 )
 
 
