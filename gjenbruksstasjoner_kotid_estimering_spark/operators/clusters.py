@@ -80,7 +80,13 @@ def connected_components(
     and solve on the driver (union-find) — one collect instead of
     O(log n) × 2 shuffles. Pass 0 to force the distributed path.
     """
-    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # Materialize the canonical edge set ONCE before the size probe: the
+    # probe's collect executes the whole upstream pipeline (e.g. MinHash
+    # banding + exact Jaccard), and without this the distributed path's
+    # own localCheckpoint would execute it a second time from lineage.
+    e = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
     if local_cutoff:
         head = e.limit(local_cutoff + 1).collect()
         if len(head) <= local_cutoff:
