@@ -317,3 +317,86 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("image-magic"),
         ).otherwise(F.lit("other")).alias("kind"),
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm):
+# positional k-gram hashes, min per sliding window, distinct mins = the
+# document's local fingerprints. Guarantees any shared substring of length
+# >= WINNOW_W + WINNOW_K - 1 tokens produces a shared fingerprint —
+# substring-level dup detection, vs the whole-doc fold of fingerprint_col
+# and the set-shingle MinHash of dedup_near_minhash.
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS t
+          FROM documents
+        ),
+        kg AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= {WINNOW_K}
+                      THEN [('0x' || substring(md5(
+                               array_to_string(t[i:i + {WINNOW_K - 1}], ' ')),
+                             1, 14))::BIGINT
+                            FOR i IN range(1, len(t) - {WINNOW_K} + 2)]
+                      ELSE [] END AS h
+          FROM toks
+        ),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(h) = 0 THEN []
+                      WHEN len(h) < {WINNOW_W} THEN [list_min(h)]
+                      ELSE list_distinct(
+                        [list_min(h[j:j + {WINNOW_W - 1}])
+                         FOR j IN range(1, len(h) - {WINNOW_W} + 2)])
+                      END AS f
+          FROM kg
+        )
+        SELECT doc_id, unnest(f) AS fingerprint FROM fps
+    """,
+    doc=f"Winnowing fingerprints (MOSS): md5 {WINNOW_K}-gram hashes, min "
+    f"per {WINNOW_W}-window, distinct mins exploded as (doc_id, "
+    "fingerprint). Any shared token run of length >= "
+    f"{WINNOW_W + WINNOW_K - 1} between two docs is guaranteed a shared "
+    "fingerprint — the substring-level dup detector (vs whole-doc "
+    "fingerprint_col and set-shingle MinHash). All positional HOFs, "
+    "JVM-side, zero shuffles; md5 keeps the hash space engine-portable so "
+    "the fingerprint VALUES are oracle-exact, not just the counts.",
+    tags=("text", "fingerprint", "winnowing", "traindata"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = tokens_col(F.col("text"))
+    n = F.size(t)
+    kgram_hash = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, WINNOW_K))), 1, 14),
+            16,
+            10,
+        ).cast("long")
+    )
+    # guard sequence() stops: Spark sequence(1, 0) counts DOWN, so every
+    # sequence sits under a when() that proves stop >= 1
+    h = F.when(
+        n >= WINNOW_K,
+        F.transform(F.sequence(F.lit(1), n - WINNOW_K + 1), kgram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    with_h = d.select("doc_id", h.alias("h"))
+    m = F.size(F.col("h"))
+    fps = (
+        F.when(m == 0, F.array().cast("array<long>"))
+        .when(m < WINNOW_W, F.array(F.array_min("h")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - WINNOW_W + 1),
+                    lambda j: F.array_min(F.slice("h", j, WINNOW_W)),
+                )
+            )
+        )
+    )
+    return with_h.select("doc_id", F.explode(fps).alias("fingerprint"))

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_knn_join",
     "doc_chunk_overlap",
     "multimodal_binary_stats",
+    "text_winnow_fingerprints",
 )
 
 

@@ -210,3 +210,36 @@ def test_chunk_overlap_covers_every_token(spark, tmp_path):
     # doc 2: one exact chunk; doc 3: one partial chunk
     assert [c.n_tokens for c in by_doc[2]] == [32]
     assert [c.n_tokens for c in by_doc[3]] == [2]
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata2 import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnow_fingerprints,
+    )
+
+    guarantee = WINNOW_W + WINNOW_K - 1  # any shared run this long must match
+    shared = " ".join(f"s{i}" for i in range(guarantee))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta", "en", "srcX", 0),
+        (2, "one two three four " + shared, "en", "srcX", 0),
+        (3, "totally different words with no overlap at all here", "en", "srcX", 0),
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    fps = text_winnow_fingerprints(spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "docs sharing a guarantee-length run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # short doc (< window of k-grams) still fingerprints: its global min
+    spark.createDataFrame(
+        [(9, "a b c d", "en", "srcX", 0)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    short = text_winnow_fingerprints(spark, str(tmp_path)).collect()
+    assert len(short) == 1 and short[0].doc_id == 9
