@@ -328,11 +328,9 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # window of consecutive k-gram hashes
 
-
-@register(
-    "text_winnow_fingerprints",
-    oracle=f"""
-        WITH toks AS (
+# Shared oracle CTE prefix ending in e(doc_id, fingerprint) — reused by
+# dedup_winnow_pairs so the fingerprint derivation is one contract.
+WINNOW_ORACLE_CTES = f"""toks AS (
           SELECT doc_id, string_split_regex(text, '\\s+') AS t
           FROM documents
         ),
@@ -355,21 +353,13 @@ WINNOW_W = 4  # window of consecutive k-gram hashes
                          FOR j IN range(1, len(h) - {WINNOW_W} + 2)])
                       END AS f
           FROM kg
-        )
-        SELECT doc_id, unnest(f) AS fingerprint FROM fps
-    """,
-    doc=f"Winnowing fingerprints (MOSS): md5 {WINNOW_K}-gram hashes, min "
-    f"per {WINNOW_W}-window, distinct mins exploded as (doc_id, "
-    "fingerprint). Any shared token run of length >= "
-    f"{WINNOW_W + WINNOW_K - 1} between two docs is guaranteed a shared "
-    "fingerprint — the substring-level dup detector (vs whole-doc "
-    "fingerprint_col and set-shingle MinHash). All positional HOFs, "
-    "JVM-side, zero shuffles; md5 keeps the hash space engine-portable so "
-    "the fingerprint VALUES are oracle-exact, not just the counts.",
-    tags=("text", "fingerprint", "winnowing", "traindata"),
-)
-def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        ),
+        e AS (SELECT doc_id, unnest(f) AS fingerprint FROM fps)"""
+
+
+def _winnow_fps(d: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) winnowed fingerprints (Spark twin of
+    WINNOW_ORACLE_CTES's ``e``)."""
     t = tokens_col(F.col("text"))
     n = F.size(t)
     kgram_hash = lambda i: (  # noqa: E731
@@ -400,3 +390,80 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return with_h.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+        WITH {WINNOW_ORACLE_CTES}
+        SELECT doc_id, fingerprint FROM e
+    """,
+    doc=f"Winnowing fingerprints (MOSS): md5 {WINNOW_K}-gram hashes, min "
+    f"per {WINNOW_W}-window, distinct mins exploded as (doc_id, "
+    "fingerprint). Any shared token run of length >= "
+    f"{WINNOW_W + WINNOW_K - 1} between two docs is guaranteed a shared "
+    "fingerprint — the substring-level dup detector (vs whole-doc "
+    "fingerprint_col and set-shingle MinHash). All positional HOFs, "
+    "JVM-side, zero shuffles; md5 keeps the hash space engine-portable so "
+    "the fingerprint VALUES are oracle-exact, not just the counts.",
+    tags=("text", "fingerprint", "winnowing", "traindata"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _winnow_fps(d)
+
+
+# Stop-fingerprint cap + pair threshold for winnow-based dup pairs.
+WINNOW_MAX_FP_DOCS = 10  # fingerprints in more docs are non-discriminative
+WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+        WITH {WINNOW_ORACLE_CTES},
+        freq AS (
+          SELECT fingerprint FROM e
+          GROUP BY fingerprint HAVING count(*) <= {WINNOW_MAX_FP_DOCS}
+        ),
+        ee AS (SELECT e.* FROM e JOIN freq USING (fingerprint))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ee a JOIN ee b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    doc="Substring-level near-dup pairs from winnowed fingerprints: drop "
+    f"stop-fingerprints (> {WINNOW_MAX_FP_DOCS} docs — non-discriminative "
+    "boilerplate, and the skew guard: per-fingerprint fan-out is bounded "
+    "so the self-join is at worst quadratic in the cap, never in corpus "
+    f"size), join bucket-locally on fingerprint, keep pairs sharing >= "
+    f"{WINNOW_MIN_SHARED}. This is the copy-span detector (quotation / "
+    "boilerplate / plagiarism shapes) that set-based MinHash misses when "
+    "the shared material is a small fraction of each doc.",
+    tags=("dedup", "winnowing", "traindata"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    e = _winnow_fps(d)
+    keep = (
+        e.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .where(F.col("nf") <= WINNOW_MAX_FP_DOCS)
+        .select("fingerprint")
+    )
+    ee = e.join(keep, "fingerprint")
+    a, b = ee.alias("a"), ee.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunk_overlap",
     "multimodal_binary_stats",
     "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
 )
 
 
