@@ -168,3 +168,40 @@ def test_results_invariant_to_join_strategy(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert forced_rows == default_rows
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus side must not pay a (doc_id, gram) dedup exchange: only the
+    # fan_out round-robins, the benchmark distinct, and the final count agg
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, plan
+
+
+def test_knn_join_broadcasts_query_bands(spark):
+    plan = _plan(spark, "similarity_knn_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=k prunes per-partition
+
+
+def test_chunker_has_no_shuffle(spark):
+    plan = _plan(spark, "doc_chunk_overlap")
+    # one REPARTITION fan_out at most; no hash exchanges anywhere
+    assert "hashpartitioning" not in plan
+
+
+def test_winnow_pairs_joins_on_fingerprint_key(spark):
+    plan = _plan(spark, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # bucket-local equi join
+
+
+def test_stratified_sample_pushes_nothing_wide(spark):
+    plan = _plan(spark, "sample_stratified_exact")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read  # 3-column projection must prune the payload
