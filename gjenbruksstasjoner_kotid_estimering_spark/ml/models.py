@@ -278,20 +278,23 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "text", "tfidf"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Staged rather than Pipeline(...).fit: fit+transform through a Pipeline
     # tokenizes and hashes the corpus TWICE (once for the IDF fit scan, once
-    # for the output scan). Persisting the TF frame makes that one pass —
-    # this was a measured 2× on the sweep (round-2 verdict perf item).
+    # for the output scan). Materializing the TF frame makes that one pass —
+    # a measured 2× on the sweep (round-2 verdict perf item).
+    # localCheckpoint, not persist(): cache-manager entries live for the
+    # whole session (every invocation would leak one hashed-corpus copy),
+    # while localCheckpoint blocks are released by the ContextCleaner when
+    # the frame is garbage collected.
     toks = Tokenizer(inputCol="text", outputCol="_toks").transform(d)
     tf = (
         HashingTF(inputCol="_toks", outputCol="_tf", numFeatures=1 << 12)
         .transform(toks)
         .select("doc_id", "_tf")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     out = IDF(inputCol="_tf", outputCol="_tfidf").fit(tf).transform(tf)
     # Summarize from the SPARSE representation (unwrap_udt exposes the

@@ -33,13 +33,24 @@ SHINGLE_K = 3
 
 
 def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
-    """Word k-shingles as strings ('w1 w2 w3'); distinct per document."""
+    """Word k-shingles as strings ('w1 w2 w3'); distinct per document.
+
+    Total over short docs: fewer than k tokens → empty array. The guard
+    matters because Spark's sequence(1, 0) counts DOWN to [1, 0] and
+    slice(…, 0, k) then throws INVALID_PARAMETER_VALUE.START — so the
+    sequence only exists under a when() proving n >= k.
+    """
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Note: an element_at-based "hash token triples directly" variant was

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import md5_long_col
 from ..functions.text import token_count_col, tokens_col
 from ..io import fan_out, load_table
 from ..registry import register
@@ -40,13 +41,8 @@ SAMPLE_RATE_DEFAULT = 10
 
 
 def _md5_bucket(col: Column) -> Column:
-    """Deterministic 0-99 bucket from md5 — portable across Spark/DuckDB
-    (14 hex chars = 56 bits, fits BIGINT on both engines)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10)
-        .cast("long")
-        % 100
-    )
+    """Deterministic 0-99 bucket from md5 (portable across Spark/DuckDB)."""
+    return md5_long_col(col.cast("string")) % 100
 
 
 @register(
@@ -109,9 +105,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing AS (SELECT DISTINCT fp FROM d
                      WHERE source IN ('src0', 'src1')),
         novel AS (
-          SELECT * FROM d
+          -- NOT EXISTS, not NOT IN: mirrors Spark's left_anti under NULL
+          -- fingerprints (md5 of a NULL text); NOT IN would null out the
+          -- whole predicate instead
+          SELECT d.* FROM d
           WHERE source NOT IN ('src0', 'src1')
-            AND fp NOT IN (SELECT fp FROM existing)
+            AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = d.fp)
         )
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
         FROM novel GROUP BY fp
@@ -173,8 +172,9 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_src AS (
           SELECT source,
                  CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
-                   AS n_tokens
+                 CAST(sum(CASE WHEN text = '' THEN 0
+                          ELSE len(string_split_regex(text, '\\s+')) END)
+                      AS BIGINT) AS n_tokens
           FROM documents GROUP BY source
         ),
         tot AS (
@@ -231,7 +231,11 @@ CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
     "doc_chunk_overlap",
     oracle=f"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(text, '\\s+') AS t
+          -- mirror tokens_col: empty string -> [] (string_split_regex('')
+          -- would give [''], i.e. one phantom token)
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
           FROM documents
         ),
         starts AS (
@@ -363,11 +367,7 @@ def _winnow_fps(d: DataFrame) -> DataFrame:
     t = tokens_col(F.col("text"))
     n = F.size(t)
     kgram_hash = lambda i: (  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, WINNOW_K))), 1, 14),
-            16,
-            10,
-        ).cast("long")
+        md5_long_col(F.concat_ws(" ", F.slice(t, i, WINNOW_K)))
     )
     # guard sequence() stops: Spark sequence(1, 0) counts DOWN, so every
     # sequence sits under a when() that proves stop >= 1

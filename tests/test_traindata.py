@@ -243,3 +243,36 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     short = text_winnow_fingerprints(spark, str(tmp_path)).collect()
     assert len(short) == 1 and short[0].doc_id == 9
+
+
+def test_short_and_empty_docs_do_not_crash_text_ops(spark, tmp_path):
+    """Regression for the short-doc crash class: sequence(1, 0) counts DOWN
+    in Spark, so un-guarded shingle/chunk expressions throw
+    INVALID_PARAMETER_VALUE.START on docs shorter than the gram size."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata2 import (
+        corpus_mixture_weights,
+        doc_chunk_overlap,
+        text_decontaminate,
+        text_winnow_fingerprints,
+    )
+
+    rows = [
+        (0, "", "en", "srcX", 0),          # empty
+        (1, "one", "en", "srcX", 3),       # 1 token
+        (2, "one two", "en", "srcX", 7),   # below shingle k=3
+        (97, "a b", "en", "srcX", 3),      # short doc in the benchmark set
+        (3, "alpha beta gamma delta epsilon zeta", "en", "srcX", 35),
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    # none of these may raise; row contents sanity-checked loosely
+    assert text_decontaminate(spark, sf).count() >= 0
+    fps = text_winnow_fingerprints(spark, sf)
+    assert fps.where(fps.doc_id == 0).count() == 0  # empty doc → no fingerprint
+    chunks = {r.doc_id: r for r in doc_chunk_overlap(spark, sf).collect()}
+    assert chunks[1].n_tokens == 1
+    assert 0 in chunks  # empty doc emits its (0-token) window row
+    mix = corpus_mixture_weights(spark, sf).collect()
+    assert mix[0].n_tokens == 11  # 0 + 1 + 2 + 2 + 6 (empty doc counts 0)
