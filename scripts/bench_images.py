@@ -40,7 +40,18 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(
         f"{count} frames in {dt:.1f}s -> {count / dt:.0f} images/sec "
-        f"(full mask/crop/normalize/featurize lane)"
+        f"(cold: includes one-time Python-worker startup)"
+    )
+    # steady state: workers are warm, measures the pipeline itself
+    t0 = time.perf_counter()
+    count = im.preprocess_images(
+        im.read_images(spark, tmp),
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"{count} frames in {dt:.1f}s -> {count / dt:.0f} images/sec "
+        f"(steady state, full mask/crop/normalize/featurize lane)"
     )
 
 
