@@ -152,3 +152,54 @@ def error_followup_join(events: DataFrame) -> DataFrame:
         & (F.col("ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-arrival micro-batch source over the documents table (the
+    streaming ingestion mouth of the corpus-prep lane)."""
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def corpus_ingest_transform(docs: DataFrame) -> DataFrame:
+    """Quality gate + per-batch fingerprint dedup for streaming ingestion.
+
+    The streaming twin of plans/corpus.corpus_prep_pipeline's front half:
+    score quality, drop low-quality docs, keep one doc per md5 fingerprint
+    within the micro-batch (cross-batch exact dedup belongs to the
+    checkpointed source log — a file never re-enters — plus the downstream
+    incremental dedup, operators/traindata2.dedup_incremental)."""
+    from ..functions.text import quality_score_col
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        quality_score_col(F.col("text")).alias("quality"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).where(F.col("quality") >= 0.5)
+    return scored.dropDuplicates(["fp"])
+
+
+def run_corpus_ingest(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """One-shot incremental corpus drain: every not-yet-seen documents file
+    flows through the quality gate + dedup into partitioned parquet.
+    Re-running with the same checkpoint is a no-op (exactly-once to the
+    file sink) — asserted in tests/test_streaming.py."""
+    (
+        corpus_ingest_transform(read_documents_stream(spark, sf_dir))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+        .awaitTermination()
+    )
