@@ -1,20 +1,24 @@
-"""Training-data pipeline operators, round 3: benchmark decontamination,
-incremental (new-batch) dedup, deterministic stratified sampling, and
-data-mixture weighting.
+"""Training-data pipeline operators, round 3.
 
-These are the remaining corpus-curation stages a production LLM data
-pipeline runs that rounds 1-2 didn't cover (plans/text.py quality lane,
+The remaining corpus-curation stages a production LLM data pipeline runs
+that rounds 1-2 didn't cover (plans/text.py quality lane,
 operators/dedup.py near-dup lane, operators/traindata.py packing/PII
-lane): removing evaluation-set contamination before training, deduping a
-new crawl batch against the already-ingested corpus instead of
-re-deduping everything, down-sampling strata deterministically (so the
-sample is reproducible run-to-run with no RNG state), and computing the
-per-source resampling weights that hit a target corpus mixture.
+lane):
 
-All four are oracle-checked: every hash is md5 (the Spark∩DuckDB portable
-digest, same trick as dedup_ngram_jaccard), ratios are single double
-divisions of exact integer counts in identical operand order on both
-engines, and n-gram generation mirrors JACCARD_ORACLE_CTES.
+- ``text_decontaminate``       eval-set n-gram contamination removal
+- ``dedup_incremental``        new-crawl-batch dedup against the corpus
+- ``sample_stratified_exact``  deterministic per-stratum sampling (no RNG)
+- ``corpus_mixture_weights``   per-source resampling to a target mixture
+- ``doc_chunk_overlap``        sliding-window chunking with provenance
+- ``multimodal_binary_stats``  BinaryType length/digest/magic-byte ops
+- ``text_winnow_fingerprints`` MOSS winnowing local fingerprints
+- ``dedup_winnow_pairs``       copy-span dup pairs over those fingerprints
+
+All eight are oracle-checked: every hash is md5 (the Spark∩DuckDB
+portable digest, same trick as dedup_ngram_jaccard), ratios are single
+double divisions of exact integer counts in identical operand order on
+both engines, and n-gram/window generation mirrors the shared CTE
+constants so the derivations can't drift between engines.
 """
 
 from __future__ import annotations
