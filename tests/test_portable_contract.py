@@ -1,0 +1,96 @@
+"""Cross-engine contract tests for the portable primitives.
+
+The oracle gate works only because a handful of expressions evaluate
+bit-identically in Spark and DuckDB: the 56-bit md5 integer
+(functions.md5_long_col), whitespace tokenization (functions.text
+.tokens_col vs the CASE-guarded string_split_regex), and epoch
+microseconds (functions.epoch_us vs epoch_us()). These tests feed both
+engines the same adversarial value set — unicode, empty strings,
+whitespace runs, long strings — and compare column-for-column, so a
+drift in either engine's semantics fails HERE with a value diff instead
+of as an opaque hash mismatch in some downstream operator.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark.functions import md5_long_col
+from gjenbruksstasjoner_kotid_estimering_spark.functions.text import tokens_col
+
+
+def _sample_strings() -> list[str]:
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Ω", "ß", "中文", "naïve", "x" * 50, "0", "-1"]
+    out = ["", " ", "  ", "a", "a b", "a  b", "tab\tsep", "nl\nsep"]
+    for _ in range(150):
+        n = rng.randint(1, 12)
+        out.append(" ".join(rng.choice(words) for _ in range(n)))
+    out.append(" leading")
+    out.append("trailing ")
+    return out
+
+
+def test_md5_long_col_matches_duckdb(spark):
+    vals = [s for s in _sample_strings() if s]  # md5('') is fine too; keep non-null
+    vals.append("")
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    got = {
+        r.i: r.h
+        for r in sdf.select("i", md5_long_col(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = dict(
+        con.execute(
+            "SELECT i, ('0x' || substring(md5(s), 1, 14))::BIGINT FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_tokens_col_matches_duckdb_case_expr(spark):
+    vals = _sample_strings()
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    got = {
+        r.i: r.t
+        for r in sdf.select("i", tokens_col(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = dict(
+        con.execute(
+            "SELECT i, CASE WHEN s = '' THEN [] "
+            "ELSE string_split_regex(s, '\\s+') END FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_epoch_us_matches_duckdb(spark):
+    import datetime
+
+    from gjenbruksstasjoner_kotid_estimering_spark.functions import epoch_us
+
+    vals = [
+        datetime.datetime(2020, 5, 6, 9, 40, 0),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(2038, 1, 19, 3, 14, 8, 123456),
+        datetime.datetime(1900, 1, 1, 0, 0, 0, 1),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, ts timestamp"
+    )
+    got = {
+        r.i: r.us for r in sdf.select("i", epoch_us("ts").alias("us")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = dict(con.execute("SELECT i, epoch_us(ts) FROM t").fetchall())
+    assert got == want
