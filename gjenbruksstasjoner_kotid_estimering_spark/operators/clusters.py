@@ -91,7 +91,9 @@ def connected_components(
         head = e.limit(local_cutoff + 1).collect()
         if len(head) <= local_cutoff:
             return _union_find_local(edges.sparkSession, head)
-    labels, _ = _connected_components_star(e, "u", "v", max_rounds)
+    labels, _ = _connected_components_star(
+        e, "u", "v", max_rounds, pre_canonical=True
+    )
     return labels
 
 
@@ -123,12 +125,23 @@ def _union_find_local(spark: SparkSession, edge_rows) -> DataFrame:
 
 
 def _connected_components_star(
-    edges: DataFrame, src: str, dst: str, max_rounds: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int,
+    pre_canonical: bool = False,
 ) -> tuple[DataFrame, int]:
-    """Internal: returns (labels, rounds-to-fixpoint)."""
-    e = _canonical(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    """Internal: returns (labels, rounds-to-fixpoint).
+
+    ``pre_canonical``: the caller already canonicalized AND materialized
+    the edge set — skip the redundant distinct shuffle + checkpoint pass.
+    """
+    if pre_canonical:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = _canonical(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        ).localCheckpoint(eager=True)
     rounds = 0
     prev_sig: tuple | None = None
     for _ in range(max_rounds):

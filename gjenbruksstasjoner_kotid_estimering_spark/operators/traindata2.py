@@ -314,14 +314,17 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bin_col = F.encode("text", "UTF-8")
-    head = F.substring(F.hex(bin_col), 1, 8)
+    # hex only the sniffed prefix bytes, never the whole blob: hex(blob) is
+    # a 2x-payload string allocation per row, and magic-byte dispatch only
+    # needs the head (hex(substring(b,1,4)) == substring(hex(b),1,8))
+    head = F.hex(F.substring(bin_col, 1, 4))
     return d.select(
         "doc_id",
         F.length(bin_col).cast("long").alias("n_bytes"),
         F.md5(bin_col).alias("digest"),
         F.lower(head).alias("head_hex"),
         F.when(
-            F.substring(F.hex(bin_col), 1, 2).isin("FF", "89"),
+            F.hex(F.substring(bin_col, 1, 1)).isin("FF", "89"),
             F.lit("image-magic"),
         ).otherwise(F.lit("other")).alias("kind"),
     )
@@ -450,7 +453,11 @@ WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    e = _winnow_fps(d)
+    # materialize once: the fingerprint frame feeds the stop-fingerprint
+    # aggregate AND both sides of the self-join, and those exchanges are
+    # not plan-identical (ReusedExchange can't collapse them) — without
+    # this the tokenize→md5→window-min→explode pipeline runs 3x
+    e = _winnow_fps(d).localCheckpoint(eager=True)
     keep = (
         e.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("nf"))

@@ -112,20 +112,33 @@ def run_available_now(
     out_dir: str,
     checkpoint_dir: str,
     transform=windowed_counts_stream,
+    reader=read_events_stream,
+    foreach_batch=None,
 ) -> None:
     """One-shot incremental drain: process every not-yet-seen file, write
     parquet, exit — the reference's container one-shot (start.sh:3-4) with
-    checkpointed exactly-once instead of target-existence checks."""
-    stream = transform(read_events_stream(spark, sf_dir))
-    (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .start()
-        .awaitTermination()
+    checkpointed exactly-once instead of target-existence checks.
+
+    The single drain contract for every one-shot stream in this repo
+    (events windows, corpus ingest): ``reader`` picks the source,
+    ``transform`` the streaming plan, and ``foreach_batch`` (optional)
+    switches the sink to per-micro-batch imperative output where the
+    semantics need batch-local logic.
+    """
+    stream = transform(reader(spark, sf_dir))
+    writer = stream.writeStream.trigger(availableNow=True).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if foreach_batch is not None:
+        query = writer.foreachBatch(foreach_batch).start()
+    else:
+        query = (
+            writer.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+    query.awaitTermination()
 
 
 def error_followup_join(events: DataFrame) -> DataFrame:
@@ -166,16 +179,19 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_ingest_transform(docs: DataFrame) -> DataFrame:
-    """Quality gate + per-batch fingerprint dedup for streaming ingestion.
+    """Quality gate + fingerprint projection for streaming ingestion (the
+    streaming twin of plans/corpus.corpus_prep_pipeline's front half).
 
-    The streaming twin of plans/corpus.corpus_prep_pipeline's front half:
-    score quality, drop low-quality docs, keep one doc per md5 fingerprint
-    within the micro-batch (cross-batch exact dedup belongs to the
-    checkpointed source log — a file never re-enters — plus the downstream
-    incremental dedup, operators/traindata2.dedup_incremental)."""
+    Deliberately NO streaming dropDuplicates here: without a watermark it
+    would hold one state entry per unique fingerprint FOREVER (unbounded
+    executor-heap state at corpus scale) and silently dedup across
+    batches. Batch-local dedup happens in the foreachBatch sink
+    (run_corpus_ingest); cross-batch novelty belongs to the checkpointed
+    source log — a file never re-enters — plus the downstream incremental
+    dedup (operators/traindata2.dedup_incremental)."""
     from ..functions.text import quality_score_col
 
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         "lang",
@@ -183,23 +199,28 @@ def corpus_ingest_transform(docs: DataFrame) -> DataFrame:
         quality_score_col(F.col("text")).alias("quality"),
         F.length("text").cast("long").alias("n_chars_actual"),
     ).where(F.col("quality") >= 0.5)
-    return scored.dropDuplicates(["fp"])
 
 
 def run_corpus_ingest(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
     """One-shot incremental corpus drain: every not-yet-seen documents file
-    flows through the quality gate + dedup into partitioned parquet.
-    Re-running with the same checkpoint is a no-op (exactly-once to the
-    file sink) — asserted in tests/test_streaming.py."""
-    (
-        corpus_ingest_transform(read_documents_stream(spark, sf_dir))
-        .writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .start()
-        .awaitTermination()
+    flows through the quality gate, per-micro-batch fingerprint dedup, and
+    into parquet. Re-running with the same checkpoint is a no-op —
+    asserted in tests/test_streaming.py."""
+
+    def _dedup_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        # batch-LOCAL dedup: bounded by the micro-batch, zero streaming
+        # state; idempotent under foreachBatch replays because the sink
+        # path is the same parquet dataset per batch append
+        batch_df.dropDuplicates(["fp"]).write.mode("append").parquet(out_dir)
+
+    run_available_now(
+        spark,
+        sf_dir,
+        out_dir,
+        checkpoint_dir,
+        transform=corpus_ingest_transform,
+        reader=read_documents_stream,
+        foreach_batch=_dedup_and_append,
     )
