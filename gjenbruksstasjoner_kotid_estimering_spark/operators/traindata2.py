@@ -52,8 +52,15 @@ def _md5_bucket(col: Column) -> Column:
 @register(
     "text_decontaminate",
     oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                      FROM documents),
+        WITH toks AS (
+          -- mirror tokens_col exactly (\\s+ split, empty -> []): plain
+          -- string_split(text, ' ') would diverge on consecutive spaces,
+          -- tabs or newlines
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
         grams AS (
           SELECT doc_id,
                  list_distinct(list_filter(
@@ -243,10 +250,13 @@ CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
           FROM documents
         ),
         starts AS (
+          -- zero-token documents produce NO chunks (mirror the Spark-side
+          -- when(size(toks) > 0) guard)
           SELECT doc_id, t,
                  unnest(range(1, greatest(len(t) - {CHUNK_SIZE}, 0)
                                  + {CHUNK_STRIDE} + 1, {CHUNK_STRIDE})) AS s
           FROM toks
+          WHERE len(t) > 0
         )
         SELECT doc_id,
                CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
@@ -269,12 +279,18 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = tokens_col(F.col("text"))
     # last start = 1 + ceil((n - CHUNK_SIZE)/stride)*stride: one window past
-    # full coverage, so trailing tokens land in a final partial chunk
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(toks) - CHUNK_SIZE, F.lit(0)) + F.lit(CHUNK_STRIDE),
-        F.lit(CHUNK_STRIDE),
-    )
+    # full coverage, so trailing tokens land in a final partial chunk.
+    # Zero-token documents produce NO chunks (not one empty chunk — an
+    # empty chunk_text row would pollute downstream packing).
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(toks) - CHUNK_SIZE, F.lit(0))
+            + F.lit(CHUNK_STRIDE),
+            F.lit(CHUNK_STRIDE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         d.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
         .select(

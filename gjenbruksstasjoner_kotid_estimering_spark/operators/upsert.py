@@ -79,7 +79,6 @@ def foreach_batch_upserter(
         touched = [r[0] for r in batch.select(pcol).distinct().collect()]
         if not touched:
             return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         if os.path.exists(target_dir):
             # Partition values round-trip through directory names; cast the
             # inferred partition column back to the batch's dtype so the
@@ -95,8 +94,16 @@ def foreach_batch_upserter(
         else:  # first batch: no target yet
             merged = latest_per_key(batch, key_cols, order_cols)
         # Break lineage before writing over the partitions just read.
+        # Writer-level option, NOT spark.conf.set: mutating the shared
+        # session conf inside foreachBatch would leak dynamic-overwrite
+        # semantics to every later write on the session.
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy(pcol).parquet(target_dir)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(pcol)
+            .parquet(target_dir)
+        )
 
     return apply
 

@@ -201,6 +201,27 @@ def corpus_ingest_transform(docs: DataFrame) -> DataFrame:
     ).where(F.col("quality") >= 0.5)
 
 
+def corpus_batch_writer(out_dir: str):
+    """foreachBatch sink for the corpus drain: batch-LOCAL fingerprint
+    dedup (bounded by the micro-batch, zero streaming state), written
+    exactly-once.
+
+    foreachBatch is at-least-once on recovery — a batch that wrote but
+    crashed before the checkpoint commit is REPLAYED with the same
+    ``batch_id`` — so a plain append would duplicate rows. Writing each
+    batch to its deterministic ``batch_id=<n>`` partition directory in
+    overwrite mode makes a replay clobber its own previous output instead:
+    a read of ``out_dir`` sees every batch exactly once
+    (tests/test_streaming.py simulates the replay)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(["fp"]).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return apply
+
+
 def run_corpus_ingest(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -209,12 +230,6 @@ def run_corpus_ingest(
     into parquet. Re-running with the same checkpoint is a no-op —
     asserted in tests/test_streaming.py."""
 
-    def _dedup_and_append(batch_df: DataFrame, batch_id: int) -> None:
-        # batch-LOCAL dedup: bounded by the micro-batch, zero streaming
-        # state; idempotent under foreachBatch replays because the sink
-        # path is the same parquet dataset per batch append
-        batch_df.dropDuplicates(["fp"]).write.mode("append").parquet(out_dir)
-
     run_available_now(
         spark,
         sf_dir,
@@ -222,5 +237,5 @@ def run_corpus_ingest(
         checkpoint_dir,
         transform=corpus_ingest_transform,
         reader=read_documents_stream,
-        foreach_batch=_dedup_and_append,
+        foreach_batch=corpus_batch_writer(out_dir),
     )

@@ -228,3 +228,29 @@ def test_corpus_ingest_drain_is_idempotent(spark, tmp_path):
     # re-drain with the same checkpoint: no file is reprocessed
     fs.run_corpus_ingest(spark, SF, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_corpus_ingest_replay_same_batch_id_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once on failure recovery: a batch that wrote
+    but crashed before the checkpoint commit is replayed with the SAME
+    batch_id. The sink must absorb the replay (deterministic per-batch
+    partition + overwrite), not append a second copy (ADVICE r3)."""
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming.file_stream import (
+        corpus_batch_writer,
+        corpus_ingest_transform,
+    )
+
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = corpus_ingest_transform(docs)
+    sink = corpus_batch_writer(out)
+    sink(batch, 0)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    sink(batch, 0)  # crash-recovery replay of the same micro-batch
+    assert spark.read.parquet(out).count() == n1
+    # a genuinely new batch still lands alongside
+    sink(batch.limit(5), 1)
+    assert spark.read.parquet(out).count() == n1 + min(
+        5, batch.dropDuplicates(["fp"]).count()
+    )

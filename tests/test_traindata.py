@@ -273,6 +273,42 @@ def test_short_and_empty_docs_do_not_crash_text_ops(spark, tmp_path):
     assert fps.where(fps.doc_id == 0).count() == 0  # empty doc → no fingerprint
     chunks = {r.doc_id: r for r in doc_chunk_overlap(spark, sf).collect()}
     assert chunks[1].n_tokens == 1
-    assert 0 in chunks  # empty doc emits its (0-token) window row
+    assert 0 not in chunks  # empty doc emits NO chunks (not one empty chunk)
     mix = corpus_mixture_weights(spark, sf).collect()
     assert mix[0].n_tokens == 11  # 0 + 1 + 2 + 2 + 6 (empty doc counts 0)
+
+
+def test_decontaminate_and_chunker_oracles_on_whitespace_runs(spark, tmp_path):
+    """ADVICE r3: the decontamination oracle used string_split(text, ' ')
+    while the Spark side tokenizes on \\s+ — divergent on consecutive
+    spaces, tabs, newlines. Both oracles now share the guarded
+    string_split_regex contract; prove it on an adversarial corpus the
+    sf testdata doesn't contain."""
+    import duckdb
+
+    from gjenbruksstasjoner_kotid_estimering_spark.registry import all_specs
+
+    rows = [
+        (0, "", "en", "srcX", 0),
+        (1, "a  b\tc\nd e", "en", "srcX", 10),          # runs + tabs + newlines
+        (97, "a  b\tc x y", "en", "srcX", 10),          # benchmark doc, same grams
+        (2, "a b c d e", "en", "srcX", 9),              # single-space twin of 1
+        (3, " lead and trail ", "en", "srcX", 16),
+        (4, " ".join(f"w{i}" for i in range(40)) + "\n\ttail", "en", "srcX", 0),
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    specs = all_specs()
+    for name in ("text_decontaminate", "doc_chunk_overlap"):
+        spec = specs[name]
+        got = sorted(
+            map(tuple, spec.builder(spark, str(tmp_path)).collect())
+        )
+        want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+        assert got == want, f"{name}: spark={got[:5]} duck={want[:5]}"

@@ -144,3 +144,23 @@ def test_upserter_empty_batch_noop(spark, tmp_path):
     assert not os.path.exists(target)  # nothing written for an empty batch
     sink(spark.createDataFrame([(5, "a", 1.0, 1)], schema), 1)
     assert [r.v for r in spark.read.parquet(target).collect()] == [1.0]
+
+
+def test_upserter_does_not_leak_session_conf(spark, tmp_path):
+    """The dynamic-overwrite setting must be writer-scoped: a foreachBatch
+    body that spark.conf.set()s partitionOverwriteMode would silently turn
+    every later overwrite on the shared session into a dynamic one
+    (VERDICT r3 'what's wrong' #2)."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.upsert import (
+        foreach_batch_upserter,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    sink = foreach_batch_upserter(
+        str(tmp_path / "target"), key_cols=["station_id", "ts"], order_cols=["seq"]
+    )
+    schema = "station_id long, ts string, v double, seq long"
+    sink(spark.createDataFrame([(1, "t1", 1.0, 1)], schema), 0)
+    sink(spark.createDataFrame([(1, "t1", 2.0, 2)], schema), 1)
+    assert spark.conf.get(key) == before
