@@ -391,27 +391,34 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic_kmeans",
-    oracle=None,  # KMeans assignment is engine-specific → rows-only
-    doc="Semantic dedup (SemDeDup-shaped): KMeans(16) coarse clusters over "
-    "the embeddings, then WITHIN each cluster exact pairwise cosine "
-    "against the cluster's earliest member chain — a doc is dropped if it "
-    "is ≥ 0.97-similar to a lower-vec_id doc in the same cluster. The "
-    "clustering bounds the quadratic term to cluster-local comparisons "
-    "(SemDeDup's core trick); at 100 TB clusters are capped by k, and the "
-    "per-cluster pair join is the same candidate-driven shape as the LSH "
-    "lanes. Output: (vec_id, cluster, keep).",
-    tags=("dedup", "embedding", "ml", "similarity"),
-)
-def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.models import SEED, _features_df
+def semantic_dedup_frame(
+    feats: DataFrame,
+    *,
+    target_cluster_size: int = 200,
+    threshold: float = 0.97,
+    seed: int | None = None,
+) -> tuple[DataFrame, int]:
+    """SemDeDup core over a (vec_id, embedding, features) frame.
 
+    k is derived from the corpus — k = max(16, ceil(n / target_cluster_size))
+    — so the expected cluster SIZE stays constant as the corpus grows and
+    the in-cluster all-pairs term is O(n · target_cluster_size), linear in
+    n, not block-quadratic (a fixed k would cap the cluster COUNT instead
+    and let cluster sizes, hence the pair join, grow as (n/k)²). This is
+    SemDeDup's own scaling rule: k ∝ corpus size.
+
+    Returns (result_df, k) so callers/tests can assert the derived k.
+    """
+    from ..ml.models import SEED
     from pyspark.ml.clustering import KMeans
 
-    feats = _features_df(spark, sf_dir)
+    n = feats.count()
+    k = max(16, -(-n // target_cluster_size))  # ceil without math import
     km = KMeans(
-        k=16, seed=SEED, featuresCol="features", predictionCol="cluster"
+        k=k,
+        seed=SEED if seed is None else seed,
+        featuresCol="features",
+        predictionCol="cluster",
     )
     # Norms are computed ONCE per vector before the self-join; inside the
     # join each candidate pair would re-fold 2×64 elements — per-side
@@ -460,17 +467,41 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_cluster",
             (dot / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos"),
         )
-        .where(F.col("cos") >= 0.97)
+        .where(F.col("cos") >= F.lit(threshold))
         .select(F.col("a_id").alias("dup_id"))
         .distinct()
     )
-    return assigned.join(
+    result = assigned.join(
         pairs, assigned.vec_id == pairs.dup_id, "left"
     ).select(
         "vec_id",
         "cluster",
         F.col("dup_id").isNull().alias("keep"),
     )
+    return result, k
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=None,  # KMeans assignment is engine-specific → rows-only
+    doc="Semantic dedup (SemDeDup-shaped): KMeans coarse clusters over the "
+    "embeddings with k DERIVED from corpus size "
+    "(k = max(16, ceil(n/200)) — k ∝ n keeps expected cluster SIZE "
+    "constant, so the in-cluster all-pairs term is O(n·200), linear in "
+    "n at 100 TB), then WITHIN each cluster exact pairwise cosine — a "
+    "doc is dropped if it is ≥ 0.97-similar to a lower-vec_id doc in "
+    "the same cluster. The per-cluster pair join is the same "
+    "candidate-driven shape as the LSH lanes; "
+    "tests/test_semantic_scale.py asserts the pair count stays "
+    "sub-quadratic on a synthetic corpus. Output: (vec_id, cluster, "
+    "keep).",
+    tags=("dedup", "embedding", "ml", "similarity"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.models import _features_df
+
+    result, _k = semantic_dedup_frame(_features_df(spark, sf_dir))
+    return result
 
 
 @register(
@@ -626,8 +657,12 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # locally per partition, then add broadcast per-partition offsets.
     # Range partitions tile the global order, so offset + local rank IS
     # the global rank regardless of where the sampled boundaries fall.
+    # Partition count tracks the cluster width (defaultParallelism) instead
+    # of a hard-coded constant so vocabulary ranking parallelism scales with
+    # the executor fleet; floor of 8 keeps small local runs deterministic.
+    n_vocab_parts = max(8, spark.sparkContext.defaultParallelism)
     by_rank = freq.repartitionByRange(
-        8, F.col("n").desc(), F.col("tok")
+        n_vocab_parts, F.col("n").desc(), F.col("tok")
     ).withColumn("pid", F.spark_partition_id())
     local = by_rank.withColumn(
         "local_rank",

@@ -14,13 +14,16 @@ conv-base featurize → flat float32 vector. Spark-first restatement:
   preprocess_image.py:195, inverted). ROI mask/crop/normalize are real
   numpy re-expressions of the reference semantics; they run on whatever the
   decoder yields.
-- **Decode/featurize are pluggable**: JPEG codecs and VGG16 weights are not
-  in this container (the reference's .h5 blobs are absent too,
-  .MISSING_LARGE_BLOBS:1-3). ``default_decoder`` is a clearly-marked
-  deterministic fake (bytes → tiled uint8 H×W×3); ``default_featurizer`` is
-  a deterministic patch-mean pooler with the real output contract
-  (flat float32). Swap in cv2/keras callables in a full container — the
-  Spark plumbing (schema, batching, partitioning) is identical.
+- **Decode/featurize are pluggable**: ``jpeg_decoder()`` is a REAL JPEG
+  decode — cv2 when installed, else the vendored pure-numpy baseline codec
+  (sources/jpeg.py) — so the reference fixture decodes end-to-end even in
+  codec-less containers. VGG16 weights are not in this container (the
+  reference's .h5 blobs are absent too, .MISSING_LARGE_BLOBS:1-3):
+  ``default_featurizer`` is a deterministic patch-mean pooler with the real
+  output contract (flat float32); ``default_decoder`` remains the cheap
+  deterministic fake for plumbing-only tests. Swap in keras callables in a
+  full container — the Spark plumbing (schema, batching, partitioning) is
+  identical.
 - **Sink**: features persist as parquet ``array<float>`` (no pickle —
   reference preprocess_image.py:139-151), partitionable by station_id.
 
@@ -159,15 +162,29 @@ def default_featurizer(image: np.ndarray) -> np.ndarray:
 
 
 def cv2_decoder() -> Callable[[bytes], np.ndarray]:
-    """REAL JPEG decoder (reference preprocess_image.py:52 cv2.imdecode).
-    Raises ImportError where OpenCV is absent — gate with
-    :func:`real_lane_available` and fall back to :func:`default_decoder`."""
+    """cv2-backed JPEG decoder (reference preprocess_image.py:52
+    cv2.imdecode). Raises ImportError where OpenCV is absent — use
+    :func:`jpeg_decoder` for the always-available real-decode path."""
     import cv2  # noqa: F401 — optional dependency, absent in this container
 
     def decode(content: bytes) -> np.ndarray:
         return cv2.imdecode(np.frombuffer(content, np.uint8), cv2.IMREAD_COLOR)
 
     return decode
+
+
+def jpeg_decoder() -> Callable[[bytes], np.ndarray]:
+    """REAL JPEG decoder, always constructible: cv2 when installed, else
+    the vendored pure-numpy baseline codec (sources/jpeg.py — same
+    bytes → uint8 BGR ndarray contract as cv2.imdecode, reference
+    preprocess_image.py:52). This is what lets the golden-fixture decode
+    parity test execute in codec-less containers."""
+    try:
+        return cv2_decoder()
+    except ImportError:
+        from . import jpeg
+
+        return jpeg.decode
 
 
 def vgg16_featurizer() -> Callable[[np.ndarray], np.ndarray]:
