@@ -1,0 +1,251 @@
+"""Transactional MERGE sink: copy-on-write parquet + atomic manifest commits.
+
+The reference's sink is a per-item DynamoDB ``update_item``
+(reference estimate_queue.py:166-178) — transactional per key, opaque to
+analytics. ``operators/upsert.py`` re-expresses it as partition-scoped
+parquet overwrite: correct and O(batch), but NOT atomic under concurrent
+writers (the round-3 review's one named production gap). This module is
+the production form: MERGE INTO with snapshot isolation and optimistic
+concurrency, built from two primitives every distributed filesystem
+offers —
+
+- **immutable data files**: writers only ever ADD parquet files under
+  ``<table>/data/``; nothing is modified in place, so readers of an old
+  snapshot are never torn.
+- **atomic manifest creation**: a snapshot is a JSON manifest listing its
+  data files, committed as ``_commits/v{N:020d}.json`` with
+  O_CREAT|O_EXCL — "create if absent" is atomic on POSIX and on object
+  stores with if-none-match semantics. Two writers racing to version N:
+  exactly one wins; the loser re-reads the new snapshot, recomputes its
+  merge on top, and retries at N+1 (optimistic concurrency, same
+  protocol as Delta Lake's log).
+
+MERGE strategy (what Delta calls copy-on-write at file granularity):
+
+1. snapshot-read the target, tag each row with its source file
+   (``input_file_name()``);
+2. find AFFECTED files — those containing at least one matched key —
+   via a broadcast semi-join of file rows against update keys (at 100 TB
+   with many files, parquet footer min/max on the key would prune before
+   this scan; the semi-join is the exact fallback);
+3. rewrite ONLY affected files: their rows anti-joined against update
+   keys (unmatched survivors) are written to new files, while unaffected
+   files are carried into the new manifest by reference — zero data
+   movement for the untouched bulk of the table;
+4. append the deduplicated updates (last-write-wins within the batch by
+   a caller-named ordering column) as new files;
+5. commit the manifest; on version conflict go back to 1.
+
+Updates-side dedup uses the same (key, ordering DESC, row_number) shape
+as operators/upsert.py:105 — one shuffle on the merge key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class VersionConflict(Exception):
+    """Another writer committed the version this merge was based on."""
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _COMMITS, f"v{version:020d}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Highest committed version, or 0 for an empty/new table."""
+    cdir = os.path.join(table_dir, _COMMITS)
+    if not os.path.isdir(cdir):
+        return 0
+    versions = [
+        int(n[1:-5])
+        for n in os.listdir(cdir)
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _read_manifest(table_dir: str, version: int) -> list[str]:
+    if version == 0:
+        return []
+    with open(_commit_path(table_dir, version)) as f:
+        return json.load(f)["files"]
+
+
+def snapshot(spark: SparkSession, table_dir: str) -> tuple[DataFrame | None, int]:
+    """(DataFrame over the committed snapshot, its version). Readers never
+    list ``data/`` — files reach visibility only via a manifest, so
+    half-written merges are invisible."""
+    v = current_version(table_dir)
+    files = _read_manifest(table_dir, v)
+    if not files:
+        return None, v
+    return spark.read.parquet(*files), v
+
+
+def _write_data_file(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df as new immutable parquet files; return their paths."""
+    sub = os.path.join(table_dir, _DATA, uuid.uuid4().hex)
+    df.write.mode("error").parquet(sub)
+    return sorted(
+        os.path.join(sub, n)
+        for n in os.listdir(sub)
+        if n.endswith(".parquet")
+    )
+
+
+def _try_commit(table_dir: str, version: int, files: list[str]) -> None:
+    os.makedirs(os.path.join(table_dir, _COMMITS), exist_ok=True)
+    payload = json.dumps(
+        {"version": version, "files": files}, indent=0
+    ).encode()
+    try:
+        fd = os.open(
+            _commit_path(table_dir, version),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError as exc:
+        raise VersionConflict(f"version {version} already committed") from exc
+    try:
+        os.write(fd, payload)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    max_retries: int = 10,
+) -> int:
+    """MERGE INTO table_dir USING updates ON key_cols:
+    matched → replace with the update row (last-write-wins within the
+    batch by ``order_col``), not matched → insert. Returns the committed
+    version. Retries on concurrent-writer conflicts."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    dedup = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # updates are re-read per retry attempt; localCheckpoint so the
+    # (possibly expensive) upstream plan runs once
+    dedup = dedup.localCheckpoint(eager=True)
+
+    for _ in range(max_retries):
+        target, base_version = snapshot(spark, table_dir)
+        if target is None:
+            new_files = _write_data_file(dedup, table_dir)
+            keep_files: list[str] = []
+        else:
+            keys = dedup.select(*key_cols)
+            tagged = target.withColumn("_file", F.input_file_name())
+            affected = [
+                r["_file"]
+                for r in tagged.join(F.broadcast(keys), key_cols, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            ]
+            # input_file_name() returns URIs (file:///...); manifests hold
+            # plain paths — normalize before set logic
+            from urllib.parse import unquote, urlparse
+
+            affected = {unquote(urlparse(f).path) for f in affected}
+            base_files = _read_manifest(table_dir, base_version)
+            keep_files = [f for f in base_files if f not in affected]
+            new_files = []
+            if affected:
+                survivors = spark.read.parquet(*sorted(affected)).join(
+                    F.broadcast(keys), key_cols, "left_anti"
+                )
+                new_files += _write_data_file(survivors, table_dir)
+            new_files += _write_data_file(
+                dedup.select(*(target.columns)), table_dir
+            )
+        try:
+            _try_commit(table_dir, base_version + 1, keep_files + new_files)
+            return base_version + 1
+        except VersionConflict:
+            continue  # re-read the newer snapshot and re-merge on top
+    raise VersionConflict(f"gave up after {max_retries} retries")
+
+
+@register(
+    "upsert_merge_tx",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS acctbal_cents
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.acctbal_cents,
+                        CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS acctbal_cents,
+               (u.c_custkey IS NOT NULL) AS merged
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+    """,
+    doc="Transactional MERGE INTO (operators/merge_tx.py): customer is "
+    "seeded as a copy-on-write parquet table (immutable data files + "
+    "atomic O_EXCL manifest commits, Delta-log-style optimistic "
+    "concurrency), then an orders-derived balance batch is MERGEd "
+    "(matched → update, else insert, LWW within batch); the committed "
+    "snapshot is read back. Exercises the full protocol under the "
+    "oracle gate: affected-file pruning via broadcast semi-join, "
+    "survivor anti-join rewrite, manifest swap. Balances in integer "
+    "cents for exact cross-engine hashing.",
+    tags=("sink", "merge", "transaction", "upsert"),
+)
+def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    table_dir = tempfile.mkdtemp(prefix="merge_tx_")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
+    snap, _ = snapshot(spark, table_dir)
+    return snap.select("c_custkey", "acctbal_cents", "merged")
+
+
+def _write_seed(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Initialize a table: version-1 manifest over the seed files."""
+    files = _write_data_file(df, table_dir)
+    _try_commit(table_dir, current_version(table_dir) + 1, files)
+    return current_version(table_dir)

@@ -62,6 +62,8 @@ def register(
 # else follows in registration order.
 # Round-4 list = (all-registered minus r01∪r02∪r03) + r01-last-seen rotation.
 _PRIORITY: tuple[str, ...] = (
+    # new this round — never driver-seen.
+    "upsert_merge_tx",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
@@ -145,6 +147,7 @@ def _load_all() -> None:
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions
     from .operators import traindata2  # noqa: F401  # round-3 additions
+    from .operators import merge_tx  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
