@@ -1,0 +1,225 @@
+"""Training-data pipeline operators, round 4.
+
+Two corpus-curation stages rounds 1-3 didn't cover, both oracle-checked:
+
+- ``bpe_pair_stats``: the inner loop of BPE tokenizer training — count
+  every ADJACENT token pair across the corpus (occurrences, not distinct
+  per doc: BPE merges by total frequency) and return the top pairs. The
+  plan is the ideal aggregation shape: per-doc pair generation is a pure
+  columnar transform (no shuffle), the count is a partial-aggregated
+  groupBy, and the top-k is Spark's TakeOrdered (per-partition heads,
+  O(k) merge on the driver) — no global sort, no single-partition
+  window. At 100 TB this is exactly how a tokenizer-training pair scan
+  should look: one shuffle, vocabulary-sized state.
+
+- ``dedup_containment_rare_shingle``: asymmetric containment dedup
+  (|A∩B| / |A|) — catches subset-duplicates (a doc embedded inside a
+  longer one) that symmetric Jaccard under-scores. Candidate generation
+  blocks on each document's K RAREST shingles (min document-frequency,
+  shingle as tie-break) with df in [2, RARE_DF_CAP]: df=1 keys can
+  match nothing and are dropped before the join (most of the exploded
+  volume at scale), df>cap keys are boilerplate, and K>1 matters
+  because a near-dup's single rarest shingle usually lies in the part
+  that DIFFERS — blocking must tolerate that. Block sizes stay bounded
+  by RARE_DF_CAP, so the pair join is candidate-driven like the LSH
+  lanes, never all-pairs. Verification computes exact containment via
+  array_intersect on the candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..io import fan_out, load_table
+from ..registry import register
+from .dedup import SHINGLE_K, shingles_col
+
+TOP_PAIRS = 50
+# A "rarest shingle" with document frequency above this cap is not a rare
+# signature at all (the doc is made of boilerplate); such docs leave the
+# candidate set. The cap simultaneously bounds every block's size: a
+# blocking key matches at most RARE_DF_CAP documents, so per-block pair
+# fan-out is ≤ cap·(cap-1)/2 regardless of corpus size.
+RARE_DF_CAP = 10
+# Rare keys elected per doc. One is not enough: for a true near-dup pair
+# the single rarest shingle of each side is usually df=1 content from the
+# DIFFERING span, so the shared-rare-shingle signal only appears a few
+# ranks down.
+RARE_KEYS_PER_DOC = 3
+CONTAINMENT_MIN = 0.5
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        pairs AS (
+          SELECT unnest(list_filter(
+                   list_transform(t,
+                     (x, i) -> CASE WHEN i < len(t)
+                               THEN x || ' ' || t[i + 1] END),
+                   y -> y IS NOT NULL)) AS pair
+          FROM toks
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {TOP_PAIRS}
+    """,
+    doc="BPE tokenizer-training pair scan: every adjacent token pair in "
+    "the corpus (all occurrences — BPE merges on total frequency), "
+    "counted and ranked; top-50 by (count DESC, pair ASC) for a "
+    "deterministic result. Pair generation is a per-row array transform "
+    "(zero shuffle), the count partial-aggregates map-side, and the "
+    "bounded result uses sort+limit = TakeOrdered, not a global sort — "
+    "the one-shuffle shape a 100 TB tokenizer-training scan needs. "
+    "Tokenizer contract shared with the winnowing/decontamination lanes "
+    "(guarded \\s+ split).",
+    tags=("text", "tokens", "bpe", "agg"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    adjacent = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(adjacent).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(TOP_PAIRS)
+    )
+
+
+@register(
+    "dedup_containment_rare_shingle",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= {SHINGLE_K}
+                      THEN list_distinct(list_filter(
+                        list_transform(t,
+                          (x, i) -> CASE WHEN i + {SHINGLE_K - 1} <= len(t)
+                                    THEN x || ' ' || t[i + 1]
+                                         || ' ' || t[i + 2] END),
+                        y -> y IS NOT NULL))
+                      ELSE [] END AS s
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+        rare AS (
+          SELECT doc_id, g, df,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY df, g) AS rn
+          FROM ex JOIN df USING (g)
+          WHERE df >= 2
+        ),
+        keys AS (SELECT doc_id, g FROM rare
+                 WHERE rn <= {RARE_KEYS_PER_DOC} AND df <= {RARE_DF_CAP}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_shared,
+                 CAST(len(sa.s) AS BIGINT) AS n_a
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, n_shared, n_a,
+               CAST(n_shared AS DOUBLE) / n_a AS containment
+        FROM scored
+        WHERE CAST(n_shared AS DOUBLE) / n_a >= {CONTAINMENT_MIN}
+    """,
+    doc="Asymmetric containment dedup: candidates block on each doc's "
+    "RAREST shingle (min document-frequency, shingle tie-break; docs "
+    f"whose rarest shingle has df > {RARE_DF_CAP} carry no rare "
+    "signature and are excluded — which also caps every block at "
+    f"{RARE_DF_CAP} docs, bounding pair fan-out independent of corpus "
+    "size), then exact |A∩B|/|A| on candidates only via "
+    "array_intersect. Catches subset-duplicates symmetric Jaccard "
+    "misses. The rarest-shingle election is a doc-partitioned window "
+    "(doc-sized groups, scale-safe), df is one vocabulary-sized "
+    "aggregation, and the shingle-set payloads join into the "
+    "candidate-sized frame only.",
+    tags=("dedup", "text", "containment", "join"),
+)
+def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    sh = d.select("doc_id", shingles_col(F.col("text")).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    df_counts = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        # df=1 keys match nothing — filtering them BEFORE the rank join
+        # drops most of the exploded volume at scale
+        .where(F.col("df") >= 2)
+    )
+    rare = (
+        ex.join(df_counts, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .where(
+            (F.col("rn") <= RARE_KEYS_PER_DOC)
+            & (F.col("df") <= RARE_DF_CAP)
+        )
+        .select("doc_id", "g")
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("s").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias(
+                "n_shared"
+            ),
+            F.size("sa").cast("long").alias("n_a"),
+        )
+    )
+    containment = F.col("n_shared").cast("double") / F.col("n_a")
+    return scored.withColumn("containment", containment).where(
+        F.col("containment") >= CONTAINMENT_MIN
+    )

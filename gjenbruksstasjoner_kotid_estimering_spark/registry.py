@@ -64,6 +64,10 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # new this round — never driver-seen.
     "upsert_merge_tx",
+    "bpe_pair_stats",
+    "dedup_containment_rare_shingle",
+    "embedding_pq_codes",
+    "similarity_topk_pq",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
@@ -148,6 +152,8 @@ def _load_all() -> None:
     from .operators import traindata  # noqa: F401  # round-2 additions
     from .operators import traindata2  # noqa: F401  # round-3 additions
     from .operators import merge_tx  # noqa: F401  # round-4 additions
+    from .operators import traindata3  # noqa: F401  # round-4 additions
+    from .operators import pq  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
