@@ -492,7 +492,8 @@ def encode(image: np.ndarray, quality: int = 90) -> bytes:
             padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
         )
         coef = np.einsum("ik,yxkl,jl->yxij", _A, blocks, _A)
-        qn = qtabs[comp_q[pi]][zz_nat.argsort()].reshape(8, 8)
+        # qtabs are in NATURAL (row-major) order, as Annex K prints them
+        qn = qtabs[comp_q[pi]].reshape(8, 8)
         quant = np.round(coef / qn).astype(np.int64)
         qcoefs.append(
             quant.reshape(by, bx, 64)[:, :, zz_nat]
@@ -544,7 +545,10 @@ def encode(image: np.ndarray, quality: int = 90) -> bytes:
         out.extend(payload)
 
     for tq, q in enumerate(qtabs):
-        seg(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+        # DQT payload is ZIGZAG-ordered per the spec (payload[k] =
+        # Q_natural[ZIGZAG[k]]) — the decoder's argsort inverse restores
+        # natural order, and third-party decoders interoperate
+        seg(0xDB, bytes([tq]) + bytes(int(q[z]) for z in ZIGZAG))
     ncomp = len(planes)
     sof = bytearray([8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, ncomp])
     for ci in range(ncomp):

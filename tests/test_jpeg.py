@@ -110,7 +110,7 @@ def test_restart_markers():
         out.extend([ln >> 8, ln & 0xFF])
         out.extend(payload)
 
-    seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    seg(0xDB, bytes([0]) + bytes(int(q[z]) for z in jpeg.ZIGZAG))
     seg(0xC0, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
     seg(0xC4, bytes([0x00] + jpeg.DC_LUMA_BITS + jpeg.DC_LUMA_VALS))
     seg(0xC4, bytes([0x10] + jpeg.AC_LUMA_BITS + jpeg.AC_LUMA_VALS))
