@@ -187,6 +187,12 @@ def merge(
             _try_commit(table_dir, base_version + 1, keep_files + new_files)
             return base_version + 1
         except VersionConflict:
+            # this attempt's data files are unreferenced by any manifest —
+            # remove them now instead of leaving vacuum debt
+            import shutil
+
+            for d in {os.path.dirname(f) for f in new_files}:
+                shutil.rmtree(d, ignore_errors=True)
             continue  # re-read the newer snapshot and re-merge on top
     raise VersionConflict(f"gave up after {max_retries} retries")
 
