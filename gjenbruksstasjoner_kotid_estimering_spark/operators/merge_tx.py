@@ -12,13 +12,16 @@ offers —
 - **immutable data files**: writers only ever ADD parquet files under
   ``<table>/data/``; nothing is modified in place, so readers of an old
   snapshot are never torn.
-- **atomic manifest creation**: a snapshot is a JSON manifest listing its
-  data files, committed as ``_commits/v{N:020d}.json`` with
-  O_CREAT|O_EXCL — "create if absent" is atomic on POSIX and on object
-  stores with if-none-match semantics. Two writers racing to version N:
-  exactly one wins; the loser re-reads the new snapshot, recomputes its
-  merge on top, and retries at N+1 (optimistic concurrency, same
-  protocol as Delta Lake's log).
+- **atomic manifest publication**: a snapshot is a JSON manifest listing
+  its data files, committed as ``_commits/v{N:020d}.json`` by writing +
+  fsyncing a temp file and publishing it with ``os.link`` — "link if
+  absent" is atomic on POSIX (object stores use if-none-match put), and
+  because the payload is complete before the name exists, readers can
+  never observe a partial manifest and a writer crash leaves no
+  half-committed version. Two writers racing to version N: exactly one
+  wins; the loser re-reads the new snapshot, recomputes its merge on
+  top, and retries at N+1 (optimistic concurrency, same protocol as
+  Delta Lake's log).
 
 MERGE strategy (what Delta calls copy-on-write at file granularity):
 
@@ -107,22 +110,31 @@ def _write_data_file(df: DataFrame, table_dir: str) -> list[str]:
 
 
 def _try_commit(table_dir: str, version: int, files: list[str]) -> None:
+    """Atomically PUBLISH a fully-written manifest.
+
+    Atomic *creation* (O_EXCL on the final path) is not atomic
+    *publication*: a reader could observe the created-but-not-yet-written
+    file, and a writer crash between create and write would brick the
+    table with a permanently-empty manifest. So the payload is written
+    and fsynced to a private temp name first, then published with
+    ``os.link`` — link-to-existing-target fails (the conflict signal) and
+    a crash before the link leaves only an ignorable temp file."""
     os.makedirs(os.path.join(table_dir, _COMMITS), exist_ok=True)
     payload = json.dumps(
         {"version": version, "files": files}, indent=0
     ).encode()
+    final = _commit_path(table_dir, version)
+    tmp = f"{final}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(
-            _commit_path(table_dir, version),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
+        os.link(tmp, final)
     except FileExistsError as exc:
         raise VersionConflict(f"version {version} already committed") from exc
-    try:
-        os.write(fd, payload)
-        os.fsync(fd)
     finally:
-        os.close(fd)
+        os.unlink(tmp)
 
 
 def merge(
@@ -138,7 +150,14 @@ def merge(
     batch by ``order_col`` — pass a LIST ending in a unique column when
     the primary ordering can tie, so LWW stays deterministic), not
     matched → insert. Returns the committed version. Retries on
-    concurrent-writer conflicts."""
+    concurrent-writer conflicts.
+
+    Schema contract: an EMPTY table bootstraps with the updates frame's
+    full schema — including the ordering column(s), which become real
+    table columns from then on. Keep synthetic ordering helpers out of
+    bootstrap batches (seed via ``_write_seed`` first, as
+    ``upsert_merge_tx`` does) unless the ordering column is genuine data
+    (as ``ts``/``event_id`` are in the streaming lane)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -226,9 +245,17 @@ def merge(
     tags=("sink", "merge", "transaction", "upsert"),
 )
 def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
-    table_dir = tempfile.mkdtemp(prefix="merge_tx_")
+    # Deterministic scratch location, wiped on entry: repeated bench /
+    # correctness sweeps reuse ONE table copy per scale factor instead of
+    # accumulating a fresh mkdtemp per invocation.
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_merge_tx_{sf_tag}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.round(F.col("c_acctbal") * 100)).cast("long").alias(

@@ -128,7 +128,11 @@ def _train_from_corpus(spark: SparkSession, sf_dir: str) -> np.ndarray:
     is bounded by TRAIN_SAMPLE regardless of corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    stride = max(1, n // TRAIN_SAMPLE)
+    # ceil, not floor: a floored stride of 1 for n in
+    # [TRAIN_SAMPLE, 2·TRAIN_SAMPLE) would make the limit() keep only the
+    # corpus HEAD (lowest vec_ids) instead of a spread sample — fatal when
+    # rows are ordered by source/time
+    stride = max(1, -(-n // TRAIN_SAMPLE))
     rows = (
         e.where(F.col("vec_id") % stride == 0)
         .select("vec_id", "embedding")

@@ -412,6 +412,11 @@ def semantic_dedup_frame(
     from ..ml.models import SEED
     from pyspark.ml.clustering import KMeans
 
+    # Materialize once: the frame is consumed four times (k-derivation
+    # count, KMeans fit, transform, both sides of the pair self-join) —
+    # without this each consumer re-runs the embedding load + vector
+    # conversion from lineage.
+    feats = feats.localCheckpoint(eager=True)
     n = feats.count()
     k = max(16, -(-n // target_cluster_size))  # ceil without math import
     km = KMeans(

@@ -144,17 +144,21 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
           SELECT c.doc_a, c.doc_b,
                  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_shared,
-                 CAST(len(sa.s) AS BIGINT) AS n_a
+                 CAST(len(sa.s) AS BIGINT) AS n_a,
+                 CAST(len(sb.s) AS BIGINT) AS n_b
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
           JOIN sh sb ON sb.doc_id = c.doc_b
         )
-        SELECT doc_a, doc_b, n_shared, n_a,
-               CAST(n_shared AS DOUBLE) / n_a AS containment
+        SELECT doc_a, doc_b, n_shared, n_a, n_b,
+               CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS containment
         FROM scored
-        WHERE CAST(n_shared AS DOUBLE) / n_a >= {CONTAINMENT_MIN}
+        WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b)
+              >= {CONTAINMENT_MIN}
     """,
-    doc="Asymmetric containment dedup: candidates block on each doc's "
+    doc="Asymmetric containment dedup (|A∩B| / min(|A|,|B|) — the "
+    "smaller side is the candidate contained doc, independent of id "
+    "order): candidates block on each doc's "
     "RAREST shingle (min document-frequency, shingle tie-break; docs "
     f"whose rarest shingle has df > {RARE_DF_CAP} carry no rare "
     "signature and are excluded — which also caps every block at "
@@ -217,9 +221,17 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
                 "n_shared"
             ),
             F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
         )
     )
-    containment = F.col("n_shared").cast("double") / F.col("n_a")
+    # Denominator is the SMALLER side: containment of the contained doc
+    # in the containing one. Dividing by the lower-doc_id side instead
+    # would make detection depend on arbitrary id order — a long doc with
+    # a low id that fully contains a short one would score
+    # n_short/n_long ≈ 0 and the subset-dup would slip through.
+    containment = F.col("n_shared").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
     return scored.withColumn("containment", containment).where(
         F.col("containment") >= CONTAINMENT_MIN
     )

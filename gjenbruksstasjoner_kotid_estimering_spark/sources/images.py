@@ -184,7 +184,13 @@ def jpeg_decoder() -> Callable[[bytes], np.ndarray]:
     except ImportError:
         from . import jpeg
 
-        return jpeg.decode
+        def decode(content: bytes) -> np.ndarray:
+            img = jpeg.decode(content)
+            if img.ndim == 2:  # grayscale: cv2 IMREAD_COLOR yields 3ch
+                img = np.dstack([img, img, img])
+            return img
+
+        return decode
 
 
 def vgg16_featurizer() -> Callable[[np.ndarray], np.ndarray]:

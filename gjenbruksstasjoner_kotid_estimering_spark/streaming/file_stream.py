@@ -228,7 +228,14 @@ def run_corpus_ingest(
     """One-shot incremental corpus drain: every not-yet-seen documents file
     flows through the quality gate, per-micro-batch fingerprint dedup, and
     into parquet. Re-running with the same checkpoint is a no-op —
-    asserted in tests/test_streaming.py."""
+    asserted in tests/test_streaming.py.
+
+    Output-layout contract: ``out_dir`` is hive-partitioned by
+    ``batch_id`` (the exactly-once mechanism — replays overwrite their
+    own partition), so readers see a ``batch_id`` column and ``out_dir``
+    must be fresh or previously written by THIS sink — pointing it at a
+    directory holding flat parquet from another writer yields Spark's
+    conflicting-directory-structures error."""
 
     run_available_now(
         spark,

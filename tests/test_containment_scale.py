@@ -63,6 +63,24 @@ def test_subset_dup_found_through_boilerplate(spark, tmp_path):
     assert pairs[(50, 51)] == 1.0  # doc 50 fully contained in doc 51
 
 
+def test_subset_dup_found_when_container_has_lower_id(spark, tmp_path):
+    """Id-order independence: the CONTAINING (longer) doc gets the LOWER
+    doc_id. With a doc_a-based denominator this pair would score
+    n_short/n_long ≈ 0 and vanish; the min-side denominator must still
+    yield 1.0."""
+    shared = "silver mountain rivers flow under ancient stone bridges today"
+    texts = [f"{shared} plus a much longer continuation wholly new "
+             f"material extending the original document"]  # doc 0: container
+    texts.append(f"{shared}")  # doc 1: contained
+    texts += [f"{BOILER} unique tail {i} alpha{i} beta{i} gamma{i}"
+              for i in range(30)]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    rows = t3.dedup_containment_rare_shingle(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == 1.0
+
+
 def test_pair_count_bounded_by_design(spark, tmp_path):
     """Worst-case legal input: groups of exactly cap docs sharing a rare
     shingle. Candidate pairs per block ≤ cap·(cap-1)/2 and total

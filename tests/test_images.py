@@ -46,6 +46,19 @@ def test_decoder_deterministic():
     assert a.shape == (im.RAW_H, im.RAW_W, 3) and a.dtype == np.uint8
 
 
+def test_jpeg_decoder_grayscale_contract():
+    """jpeg_decoder() must honor the cv2.imdecode(IMREAD_COLOR) contract
+    on GRAYSCALE streams too: 3 identical channels, not a 2-D array —
+    otherwise the two container flavors (cv2 present/absent) diverge."""
+    from gjenbruksstasjoner_kotid_estimering_spark.sources import jpeg
+
+    gray = np.full((16, 24), 90, dtype=np.uint8)
+    out = im.jpeg_decoder()(jpeg.encode(gray, quality=100))
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 1], out[..., 2])
+
+
 def test_pipeline_end_to_end(spark, tmp_path):
     rng = np.random.default_rng(7)
     names = [
