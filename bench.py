@@ -18,6 +18,7 @@ cluster deployment would measure.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -63,6 +64,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — sweep must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # Several operators localCheckpoint intermediates; the JVM
+            # storage blocks are only released when the py4j cleaner runs
+            # after Python GC. Without this, blocks from 150+ queries
+            # accumulate and the late heavy queries (clusters, kmeans) pay
+            # memory pressure that standalone runs don't — observed as
+            # 2.7s → 11.6s drift inside the sweep.
+            df = None
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
