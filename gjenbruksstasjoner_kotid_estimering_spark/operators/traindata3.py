@@ -37,6 +37,12 @@ from ..registry import register
 from .dedup import SHINGLE_K, shingles_col
 
 TOP_PAIRS = 50
+# Opaque-container frame geometry for the multimodal sampling lane: fixed
+# 32-byte frames, every 4th sampled. Real video parsing plugs a demuxer
+# into the same plan shape; the fixed-size-frame container keeps the
+# derivation byte-exact on both engines.
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
 # A "rarest shingle" with document frequency above this cap is not a rare
 # signature at all (the doc is made of boilerplate); such docs leave the
 # candidate set. The cap simultaneously bounds every block's size: a
@@ -234,4 +240,82 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return scored.withColumn("containment", containment).where(
         F.col("containment") >= CONTAINMENT_MIN
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH blobs AS (
+          SELECT doc_id, encode(text) AS b,
+                 octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+          FROM documents
+        ),
+        sampled AS (
+          SELECT doc_id, n_frames, unnest(
+                   CASE WHEN n_frames >= 1
+                        THEN [i FOR i IN range(1, n_frames + 1,
+                                               {FRAME_STRIDE})]
+                        ELSE [] END) AS frame_no
+          FROM blobs
+        )
+        SELECT s.doc_id,
+               CAST(s.frame_no AS BIGINT) AS frame_no,
+               CAST((s.frame_no - 1) * {FRAME_BYTES} AS BIGINT)
+                   AS offset_bytes,
+               -- digest the lowercase HEX of the frame bytes (2 chars per
+               -- byte): DuckDB has no BLOB substring, so the cross-engine
+               -- contract slices the hex string instead
+               md5(lower(substring(hex(bl.b),
+                                   (s.frame_no - 1) * {FRAME_BYTES * 2} + 1,
+                                   {FRAME_BYTES * 2}))) AS frame_digest
+        FROM sampled s JOIN blobs bl USING (doc_id)
+    """,
+    doc="Multimodal frame sampling — the video-lane decode shape made "
+    f"oracle-exact: each blob is an opaque container of fixed "
+    f"{FRAME_BYTES}-byte frames; every {FRAME_STRIDE}th full frame is "
+    "sampled (trailing partial frame dropped) and emitted as (frame_no, "
+    "byte offset, content digest). The plan is the one a real "
+    "frame-sampler needs at 100 TB: a per-row array transform generates "
+    "sampled offsets (zero shuffle, no explode of UNsampled frames — "
+    "the stride prunes before materialization), byte-slice + digest "
+    "stay codegen'd JVM expressions. A real demuxer swaps into the "
+    "same mapInPandas slot the image lane uses; the fixed-frame "
+    "container keeps both engines byte-identical (payload = UTF-8 "
+    "encoding of documents.text, as multimodal_binary_stats).",
+    tags=("multimodal", "binary", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    b = F.encode("text", "UTF-8")
+    n_frames = (F.length(b) / FRAME_BYTES).cast("long")
+    frame_nos = F.when(
+        n_frames >= 1,
+        F.sequence(F.lit(1), n_frames, F.lit(FRAME_STRIDE)),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        d.select(
+            "doc_id",
+            b.alias("b"),
+            F.explode(frame_nos).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            ((F.col("frame_no") - 1) * FRAME_BYTES).alias("offset_bytes"),
+            # md5 over the frame's lowercase hex (not raw bytes): the
+            # engine-portable digest contract — see the oracle comment
+            F.md5(
+                F.lower(
+                    F.hex(
+                        F.col("b").substr(
+                            ((F.col("frame_no") - 1) * FRAME_BYTES + 1).cast(
+                                "int"
+                            ),
+                            F.lit(FRAME_BYTES),
+                        )
+                    )
+                )
+            ).alias("frame_digest"),
+        )
     )

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_rare_shingle",
     "embedding_pq_codes",
     "similarity_topk_pq",
+    "multimodal_frame_sample",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
