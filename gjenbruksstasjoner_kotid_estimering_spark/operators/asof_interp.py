@@ -156,6 +156,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+            FROM events
+        )
+        SELECT event_id, user_id,
+               first_value(CASE WHEN event_type = 'error' THEN value END
+                           IGNORE NULLS) OVER win AS next_error_value,
+               CAST(first_value(CASE WHEN event_type = 'error' THEN us END
+                                IGNORE NULLS) OVER win - us
+                    AS BIGINT) AS time_to_error_us
+        FROM e
+        WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+    doc="FORWARD as-of join: every event sees the next at-or-after "
+    "'error' reading of its key and the exact integer-microsecond time "
+    "until it — the attribution direction (label = what happens next) "
+    "that backward as-of can't express and that leaks future data if "
+    "done naively at training time, so pipelines need it as an explicit, "
+    "audited operator. Same single-shuffle windowed shape as "
+    "join_asof_nearest with the frame reversed: first(ignorenulls) over "
+    "CURRENT ROW..UNBOUNDED FOLLOWING.",
+    tags=("join", "asof", "window"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked_val = F.when(F.col("event_type") == "error", F.col("value"))
+    marked_us = F.when(
+        F.col("event_type") == "error", F.unix_micros("ts")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first(marked_val, ignorenulls=True).over(w).alias(
+            "next_error_value"
+        ),
+        (
+            F.first(marked_us, ignorenulls=True).over(w)
+            - F.unix_micros("ts")
+        ).cast("long").alias("time_to_error_us"),
+    )
+
+
 TOLERANCE_US = 3600 * 1_000_000  # 1 hour
 
 

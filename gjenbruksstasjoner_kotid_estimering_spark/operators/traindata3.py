@@ -244,6 +244,64 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_audio_stats",
+    oracle="""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        samples AS (
+          SELECT doc_id, n,
+                 [('0x' || substring(h, (i - 1) * 2 + 1, 2))::BIGINT
+                  FOR i IN range(1, n + 1)] AS s
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(list_aggregate(s, 'sum') AS BIGINT) AS amp_sum,
+               CAST(list_aggregate(s, 'max') AS BIGINT) AS amp_peak,
+               CAST(list_aggregate(s, 'min') AS BIGINT) AS amp_floor
+        FROM samples
+        WHERE n > 0
+    """,
+    doc="Multimodal waveform statistics — the audio-lane feature shape "
+    "made oracle-exact: each blob is read as unsigned 8-bit PCM samples "
+    "and reduced to integer amplitude stats (count/sum/peak/floor — "
+    "the silence/clipping screens an audio-corpus quality gate runs "
+    "before expensive transcription). Byte extraction is a per-row hex "
+    "transform + integer fold: zero shuffles, codegen end to end, and "
+    "the all-integer output hashes exactly. A real PCM/FLAC decoder "
+    "swaps into the image lane's mapInPandas slot; payload = UTF-8 "
+    "bytes of documents.text so both engines see identical samples.",
+    tags=("multimodal", "binary", "audio"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.hex(F.encode("text", "UTF-8"))
+    n = (F.length(h) / 2).cast("long")
+    # per-byte extraction: hex-pair slice + conv(…,16,10); dynamic
+    # substring positions need the SQL expression form
+    samples = F.expr(
+        "transform(sequence(1, CAST(length(hex(encode(text, 'UTF-8'))) / 2 "
+        "AS BIGINT)), i -> CAST(conv(substring(hex(encode(text, 'UTF-8')), "
+        "CAST((i - 1) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT))"
+    )
+    return (
+        d.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            n.alias("n_samples"),
+            F.aggregate(
+                samples, F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("amp_sum"),
+            F.array_max(samples).alias("amp_peak"),
+            F.array_min(samples).alias("amp_floor"),
+        )
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle=f"""
         WITH blobs AS (

@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "similarity_topk_pq",
     "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "join_asof_forward",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
