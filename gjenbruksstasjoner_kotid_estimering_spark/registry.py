@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_audio_stats",
     "join_asof_forward",
+    "window_islands_runs",
+    "join_asof_abs_nearest",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
@@ -158,6 +160,7 @@ def _load_all() -> None:
     from .operators import traindata3  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
+    from .plans import advanced3  # noqa: F401  # round-4 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
