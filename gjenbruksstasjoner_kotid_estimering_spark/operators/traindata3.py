@@ -244,6 +244,64 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "corpus_split_assign",
+    oracle="""
+        WITH assigned AS (
+          SELECT doc_id, lang,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                    1, 14))::BIGINT % 100 AS bucket,
+                 CASE WHEN text = '' THEN 0
+                      ELSE len(string_split_regex(text, '\\s+')) END
+                     AS n_tokens
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic train/valid/test corpus split (90/5/5) with "
+    "per-split token budgets: assignment is a pure function of doc_id "
+    "(salted md5 bucket — no RNG, no state), so the split is stable "
+    "under re-runs, distribution-independent of input ordering, and "
+    "reproducible across engines; per-(split, lang) doc and token "
+    "counts are the budget report every dataset card needs. The salt "
+    "(':split') decorrelates these buckets from the sampling lane's "
+    "(sample_stratified_exact) — the same doc must be able to land "
+    "differently in independent bucketed decisions. One shuffle "
+    "(the final aggregate); tokenizer contract shared with the "
+    "winnowing/BPE lanes.",
+    tags=("text", "sampling", "split", "agg"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_long_col
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        md5_long_col(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+    )
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("long")
+    return (
+        d.select(split.alias("split"), "lang", n_tokens.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "multimodal_audio_stats",
     oracle="""
         WITH b AS (

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_forward",
     "window_islands_runs",
     "join_asof_abs_nearest",
+    "corpus_split_assign",
     # the 4 operators no driver round has ever reached (judge-verified in
     # round 3 via an independent oracle run; driver evidence is the record).
     "doc_chunk_overlap",
