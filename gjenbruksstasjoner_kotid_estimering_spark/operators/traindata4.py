@@ -1,0 +1,490 @@
+"""Training-data pipeline operators, round 4 (second batch).
+
+Four corpus-curation stages the earlier lanes don't cover, all
+oracle-checked:
+
+- ``text_segment_dedup``: C4-style duplicate-SPAN removal. Documents are
+  cut into fixed-width token segments and every segment that occurs more
+  than once in the corpus survives only in its FIRST occurrence
+  (lexicographic (doc_id, position)); later occurrences are dropped and
+  each document is re-assembled from its surviving segments. This is the
+  span-level exact dedup C4 applies at three-sentence granularity —
+  distinct from doc-level ``dedup_exact`` (whole docs) and
+  ``dedup_winnow_pairs`` (approximate copy-span DETECTION: it reports
+  pairs, this one REWRITES the corpus).
+
+- ``text_bm25_rank``: BM25 retrieval ranking of the corpus against a
+  fixed query. Uses the RATIONAL Robertson–Spärck-Jones idf
+  (N - df + 0.5)/(df + 0.5) — deliberately no ``ln``: IEEE-754 requires
+  exact rounding for + - * / so an identical operand order is
+  bit-identical across engines, while libm's log is not so guaranteed
+  (same convention as ``text_tfidf_exact``). Per-term partial scores are
+  added in one fixed textual order, never via float ``sum()`` whose
+  accumulation order differs between engines.
+
+- ``events_anomaly_mad``: robust anomaly counting per event_type via
+  median / median-absolute-deviation. Both medians are LOWER medians
+  (order statistic at rank (n+1) div 2) — selected values, not
+  interpolated averages — so every derived number is exact arithmetic on
+  input values and the 3×MAD threshold comparison cannot drift between
+  engines.
+
+- ``text_gopher_quality_flags``: rule-based document filtering in the
+  style of the Gopher/MassiveText quality rules (token-count bounds,
+  mean-token-length band, stopword-presence, symbol ratio). Emits the
+  individual boolean rule flags plus the final keep decision — the
+  filter-with-provenance shape a curation pipeline needs (``text_quality``
+  is the complementary continuous score; this is the hard gate).
+
+The reference has no text lane (453-line image pipeline); these extend its
+"derive signals from an opaque payload" pattern (reference
+preprocess_image.py:110-136) to corpus curation, as mandated by the
+driver's extension-surface brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens_col
+from ..io import fan_out, load_table
+from ..registry import register
+
+# Segment width for span-level dedup. C4 uses three-sentence spans; the
+# synthetic corpus has no sentence structure, so a fixed token window
+# plays that role. Short enough that the repetitive synthetic vocabulary
+# actually produces cross-doc duplicate spans at sf0.01.
+SEG_TOKENS = 10
+
+# BM25: classic Robertson parameters; the query is a fixed term set (in
+# production this side is the user query / benchmark suite — tiny, so all
+# per-term corpus statistics fold into one broadcast row).
+BM25_QUERY = ("spark", "query", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+# Gopher-style rule thresholds (MassiveText's published bands, adapted to
+# the short synthetic docs: real pipelines use 50..100k tokens and
+# mean-word-length 3..10).
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 120
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+MAD_SIGMAS = 3.0
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+        WITH toks AS (
+          -- mirror tokens_col: empty string -> [] (string_split_regex('')
+          -- would yield [''], a phantom token)
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t, unnest(range(1, len(t) + 1, {SEG_TOKENS})) AS s
+          FROM toks
+          WHERE len(t) > 0
+        ),
+        segs AS (
+          SELECT doc_id,
+                 CAST((s - 1) // {SEG_TOKENS} AS BIGINT) AS idx,
+                 array_to_string(t[s:s + {SEG_TOKENS} - 1], ' ') AS seg
+          FROM starts
+        ),
+        ranked AS (
+          SELECT doc_id, idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, idx) AS rn
+          FROM segs
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                 coalesce(string_agg(seg, ' ' ORDER BY idx)
+                            FILTER (WHERE rn = 1), '') AS text_clean
+          FROM ranked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_segments, 0) AS n_segments,
+               coalesce(p.n_kept, 0) AS n_kept,
+               coalesce(p.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="C4-style duplicate-span removal: fixed 10-token segments, each "
+    "distinct segment survives only at its first (doc_id, position) "
+    "occurrence, documents re-assembled from surviving segments. One "
+    "shuffle keyed on the ~60-byte segment value (the keep-first winner "
+    "needs exact segment equality — grouping by value IS the operator; "
+    "a hash pre-filter would still have to confirm on value), one "
+    "doc_id-keyed re-assembly that reuses the fan_out partitioning. "
+    "Per-segment window groups are bounded by the segment's duplication "
+    "count, never corpus-sized.",
+    tags=("text", "dedup", "c4", "window"),
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    seg_starts = F.when(
+        n > 0, F.sequence(F.lit(1), n, F.lit(SEG_TOKENS))
+    ).otherwise(F.array().cast("array<int>"))
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                seg_starts,
+                lambda s: F.concat_ws(" ", F.slice(toks, s, SEG_TOKENS)),
+            )
+        ).alias("idx", "seg"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "seg")
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "idx")
+    )
+    ranked = segs.withColumn("rn", rn)
+    kept_seg = F.when(F.col("rn") == 1, F.struct("idx", "seg"))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_seg)), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = BM25_QUERY
+    score_terms = []
+    for i in (1, 2, 3):
+        score_terms.append(
+            f"""CASE WHEN tf{i} > 0 THEN
+                 ((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)
+                    / (CAST(df{i} AS DOUBLE) + 0.5))
+                 * ((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0!r})
+                    / (CAST(tf{i} AS DOUBLE)
+                       + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}
+                          * (CAST(dl AS DOUBLE) / avgdl))))
+                 ELSE 0.0 END"""
+        )
+    s1, s2, s3 = score_terms
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS dl,
+                 CAST(len(list_filter(t, x -> x = '{t1}')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(t, x -> x = '{t2}')) AS BIGINT) AS tf2,
+                 CAST(len(list_filter(t, x -> x = '{t3}')) AS BIGINT) AS tf3
+          FROM toks
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl,
+                 CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+                 CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+                 CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+          FROM per_doc
+        ),
+        scored AS (
+          SELECT doc_id, dl,
+                 tf1 AS tf_{t1}, tf2 AS tf_{t2}, tf3 AS tf_{t3},
+                 ({s1}) + ({s2}) + ({s3}) AS score
+          FROM per_doc CROSS JOIN (
+            SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                        AS avgdl
+            FROM stats)
+        )
+        SELECT doc_id, dl, tf_{t1}, tf_{t2}, tf_{t3}, score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_TOP}
+    """
+
+
+@register(
+    "text_bm25_rank",
+    oracle=_bm25_oracle(),
+    doc="BM25 top-20 retrieval over the corpus for a fixed 3-term query, "
+    "rational RSJ idf (N-df+0.5)/(df+0.5) — no libm log, so identical "
+    "operand order is bit-identical across engines; per-term partial "
+    "scores added in one fixed order (never float sum() with "
+    "engine-dependent accumulation order). Per-doc tf/dl derive with "
+    "ZERO shuffle (array filter sizes, no explode); all corpus "
+    "statistics (N, Σdl, per-term df — integer sums, exact) reduce to "
+    "ONE row that broadcasts back; the bounded result is sort+limit = "
+    "TakeOrdered. At 100 TB: one scan, one single-row aggregate, one "
+    "O(k) driver merge.",
+    tags=("text", "bm25", "ranking", "agg"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    toks = tokens_col(F.col("text"))
+    def tf_of(term: str):
+        # NB: a default-arg lambda (lambda x, t=term: ...) would have
+        # arity 2 and F.filter would pass the element INDEX as t.
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            tf_of(t).alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY, 1)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    ).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df_ = F.col(f"df{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - df_ + F.lit(0.5)) / (
+            df_ + F.lit(0.5)
+        )
+        sat = (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B)
+                * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+        return F.when(F.col(f"tf{i}") > 0, idf * sat).otherwise(F.lit(0.0))
+
+    scored = per_doc.join(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[
+            F.col(f"tf{i}").alias(f"tf_{t}")
+            for i, t in enumerate(BM25_QUERY, 1)
+        ],
+        (term_score(1) + term_score(2) + term_score(3)).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ),
+        med AS (
+          SELECT event_type, n, value AS med
+          FROM ranked WHERE rn = (n + 1) // 2
+        ),
+        dev AS (
+          SELECT r.event_type, m.n, m.med, abs(r.value - m.med) AS dev,
+                 row_number() OVER (PARTITION BY r.event_type
+                                    ORDER BY abs(r.value - m.med)) AS drn
+          FROM ranked r JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, dev AS mad FROM dev WHERE drn = (n + 1) // 2
+        )
+        SELECT d.event_type,
+               CAST(max(d.n) AS BIGINT) AS n,
+               max(d.med) AS med,
+               max(a.mad) AS mad,
+               CAST(count(*) FILTER (WHERE d.dev > {MAD_SIGMAS!r} * a.mad)
+                    AS BIGINT) AS n_anomalies,
+               max(d.dev) AS max_dev
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+    """,
+    doc="Robust per-group anomaly counting: lower-median (order statistic "
+    "at rank (n+1) div 2 — a SELECTED input value, not an interpolated "
+    "average, so all downstream arithmetic is exact and cross-engine "
+    "stable), MAD of absolute deviations, count of |x-med| > 3·MAD. "
+    "Group count is event_type cardinality (tiny) so the median/MAD "
+    "frames broadcast back; the two rank passes are per-group sorts — "
+    "the price of EXACT medians (the approximate production form at "
+    "100 TB is the agg_approx_quantile lane; this operator is the exact "
+    "contract).",
+    tags=("events", "anomaly", "median", "window"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = ranked.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    drn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("dev")
+    )
+    mad = (
+        dev.withColumn("drn", drn)
+        .where(F.col("drn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count_if(F.col("dev") > F.lit(MAD_SIGMAS) * F.col("mad")).alias(
+                "n_anomalies"
+            ),
+            F.max("dev").alias("max_dev"),
+        )
+    )
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t,
+                 length(text)
+                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                   AS n_sym,
+                 length(text) AS n_all
+          FROM documents
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(list_distinct(t),
+                        x -> list_contains({list(STOPWORDS)!r}, x)))
+                      AS BIGINT) AS n_stopwords,
+                 CASE WHEN len(t) > 0
+                      THEN CAST(list_sum(list_transform(t, x -> length(x)))
+                                AS DOUBLE) / CAST(len(t) AS DOUBLE)
+                      ELSE 0.0 END AS mean_token_len,
+                 CASE WHEN n_all > 0
+                      THEN CAST(n_sym AS DOUBLE) / CAST(n_all AS DOUBLE)
+                      ELSE 0.0 END AS symbol_ratio
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, n_stopwords, mean_token_len, symbol_ratio,
+               n_tokens < {GOPHER_MIN_TOKENS}
+                 OR n_tokens > {GOPHER_MAX_TOKENS} AS flag_length,
+               mean_token_len < {GOPHER_MIN_MEAN_LEN!r}
+                 OR mean_token_len > {GOPHER_MAX_MEAN_LEN!r}
+                 AS flag_mean_len,
+               n_stopwords < 1 AS flag_no_stopword,
+               symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO!r} AS flag_symbols,
+               NOT (n_tokens < {GOPHER_MIN_TOKENS}
+                    OR n_tokens > {GOPHER_MAX_TOKENS}
+                    OR mean_token_len < {GOPHER_MIN_MEAN_LEN!r}
+                    OR mean_token_len > {GOPHER_MAX_MEAN_LEN!r}
+                    OR n_stopwords < 1
+                    OR symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO!r}) AS keep
+        FROM sig
+    """,
+    doc="Gopher/MassiveText-style rule-based quality gate with "
+    "provenance: token-count band, mean-token-length band (exact long "
+    "char sum / long count — one double division), stopword presence, "
+    "symbol ratio; emits each rule flag plus the final keep decision. "
+    "Pure per-row columnar expressions — zero shuffles, full codegen, "
+    "embarrassingly parallel at 100 TB. Complementary to text_quality "
+    "(continuous score): this is the hard filter a curation DAG branches "
+    "on.",
+    tags=("text", "quality", "filter", "gopher"),
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_all = F.length("text")
+    n_sym = n_all - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    sig = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.array_distinct(toks), lambda x: x.isin(*STOPWORDS)
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+        F.when(
+            n_tok > 0,
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n_tok.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        F.when(
+            n_all > 0, n_sym.cast("double") / n_all.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+    )
+    flag_length = (F.col("n_tokens") < GOPHER_MIN_TOKENS) | (
+        F.col("n_tokens") > GOPHER_MAX_TOKENS
+    )
+    flag_mean = (F.col("mean_token_len") < GOPHER_MIN_MEAN_LEN) | (
+        F.col("mean_token_len") > GOPHER_MAX_MEAN_LEN
+    )
+    flag_stop = F.col("n_stopwords") < 1
+    flag_sym = F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "mean_token_len",
+        "symbol_ratio",
+        flag_length.alias("flag_length"),
+        flag_mean.alias("flag_mean_len"),
+        flag_stop.alias("flag_no_stopword"),
+        flag_sym.alias("flag_symbols"),
+        (~(flag_length | flag_mean | flag_stop | flag_sym)).alias("keep"),
+    )

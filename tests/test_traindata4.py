@@ -1,0 +1,178 @@
+"""Invariants for the round-4 second-batch corpus operators (segment
+dedup, BM25 ranking, MAD anomalies, Gopher flags). Oracle parity is
+covered by the parametrized sweep in test_correctness.py; these tests pin
+the SEMANTICS on hand-built corpora where the right answer is known by
+construction."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MIN_TOKENS,
+    MAD_SIGMAS,
+    SEG_TOKENS,
+    events_anomaly_mad,
+    text_bm25_rank,
+    text_gopher_quality_flags,
+    text_segment_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, schema=DOC_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_segment_dedup_keep_first(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(SEG_TOKENS))  # one full segment
+    rows = [
+        (1, shared + " tail1 tail2", "en", "x", 0),  # segment 0 = shared
+        (2, shared, "en", "x", 0),  # exact duplicate of doc 1's segment 0
+        (3, "unique only here", "en", "x", 0),
+        (4, "", "en", "x", 0),  # empty doc: zero segments
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in text_segment_dedup(spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is the first occurrence: keeps both its segments
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert out[1].text_clean == shared + " tail1 tail2"
+    # doc 2's only segment was already seen in doc 1 → dropped
+    assert (out[2].n_segments, out[2].n_kept) == (1, 0)
+    assert out[2].text_clean == ""
+    # doc 3 untouched, doc 4 empty
+    assert (out[3].n_segments, out[3].n_kept) == (1, 1)
+    assert out[3].text_clean == "unique only here"
+    assert (out[4].n_segments, out[4].n_kept, out[4].text_clean) == (0, 0, "")
+
+
+def test_segment_dedup_global_invariant(spark):
+    """Across the corpus, every distinct segment value survives exactly
+    once: Σ n_kept == |distinct segments|."""
+    out = text_segment_dedup(spark, SF)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    docs = load_table(spark, SF, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    segs = docs.where(F.col("text") != "").select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n, F.lit(SEG_TOKENS)),
+                lambda s: F.concat_ws(" ", F.slice(toks, s, SEG_TOKENS)),
+            )
+        ).alias("seg")
+    )
+    assert total_kept == segs.distinct().count()
+
+
+def test_bm25_matches_reference_formula(spark, tmp_path):
+    t1, t2, _ = BM25_QUERY
+    rows = [
+        (1, f"{t1} {t1} {t2} filler filler", "en", "x", 0),
+        (2, f"{t1} filler filler filler filler", "en", "x", 0),
+        (3, "filler filler filler filler filler", "en", "x", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in text_bm25_rank(spark, sf).collect()}
+    n_docs, avgdl = 3, 5.0
+
+    def score(tf, df, dl):
+        if tf == 0:
+            return 0.0
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+    # df: t1 in docs 1,2 → 2; t2 in doc 1 → 1; t3 nowhere → 0
+    exp1 = score(2, 2, 5) + score(1, 1, 5)
+    exp2 = score(1, 2, 5)
+    assert math.isclose(got[1].score, exp1, rel_tol=1e-12)
+    assert math.isclose(got[2].score, exp2, rel_tol=1e-12)
+    assert got[3].score == 0.0
+    assert exp1 > exp2 > 0.0  # ranking order is meaningful
+
+
+def test_bm25_output_is_ranked(spark):
+    rows = text_bm25_rank(spark, SF).collect()
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0.0 for s in scores)
+
+
+def test_anomaly_mad_against_pandas(spark):
+    got = {r.event_type: r for r in events_anomaly_mad(spark, SF).collect()}
+    pdf = load_table(spark, SF, "events").select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["value"].tolist())
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1]  # lower median, 1-based rank → 0-based
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(n + 1) // 2 - 1]
+        n_anom = sum(1 for d in devs if d > MAD_SIGMAS * mad)
+        r = got[etype]
+        assert r.n == n
+        assert r.med == med
+        assert r.mad == mad
+        assert r.n_anomalies == n_anom
+        assert r.max_dev == devs[-1]
+
+
+def test_gopher_flags_logic(spark, tmp_path):
+    rows = [
+        (1, "the " + " ".join(f"w{i}" for i in range(20)), "en", "x", 0),
+        (2, "too short", "en", "x", 0),  # < GOPHER_MIN_TOKENS
+        (3, "the " + "!!!! " * 20, "en", "x", 0),  # symbol-heavy
+        (4, " ".join("zz" for _ in range(20)), "en", "x", 0),  # no stopword
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in text_gopher_quality_flags(spark, sf).collect()}
+    assert out[1].keep and not any(
+        [out[1].flag_length, out[1].flag_mean_len, out[1].flag_no_stopword,
+         out[1].flag_symbols]
+    )
+    assert out[2].flag_length and not out[2].keep
+    assert out[2].n_tokens < GOPHER_MIN_TOKENS
+    assert out[3].flag_symbols and not out[3].keep
+    assert out[3].symbol_ratio > GOPHER_MAX_SYMBOL_RATIO
+    assert out[4].flag_no_stopword and not out[4].keep
+    # keep is exactly the conjunction of no-flags (corpus-wide)
+    full = text_gopher_quality_flags(spark, SF)
+    bad = full.where(
+        F.col("keep")
+        != ~(
+            F.col("flag_length")
+            | F.col("flag_mean_len")
+            | F.col("flag_no_stopword")
+            | F.col("flag_symbols")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_new_ops_registered_with_oracles():
+    specs = registry.all_specs()
+    for name in (
+        "text_segment_dedup",
+        "text_bm25_rank",
+        "events_anomaly_mad",
+        "text_gopher_quality_flags",
+    ):
+        assert name in specs and specs[name].oracle is not None
