@@ -1,0 +1,276 @@
+"""Event-analytics query shapes over the ``events`` stream table —
+funnel conversion, cohort retention, Markov transition counts, and a
+hierarchical multi-granularity rollup. All four are oracle-checked; time
+arithmetic is exact integer microseconds (``epoch_us``) or date math, and
+every money/value sum uses exact integer cents so no float accumulation
+order can drift between engines.
+
+These generalize the reference's "derive a per-entity timeline, then
+aggregate" pattern (reference estimate_queue.py:133-178 builds per-station
+time-keyed records) to the standard product-analytics suite a 100 TB
+event warehouse runs daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import epoch_us
+from ..io import load_table
+from ..registry import register
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        s1 AS (
+          SELECT user_id, min(us) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+          FROM ev e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.us > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.us) AS t3
+          FROM ev e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.us > s2.t2
+          GROUP BY e.user_id
+        ),
+        users AS (SELECT DISTINCT user_id FROM ev)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(s1.t1) AS BIGINT) AS n_view,
+               CAST(count(s2.t2) AS BIGINT) AS n_view_click,
+               CAST(count(s3.t3) AS BIGINT) AS n_full_funnel,
+               CAST(coalesce(sum(s2.t2 - s2.t1), 0) AS BIGINT)
+                 AS sum_us_view_to_click,
+               CAST(coalesce(sum(s3.t3 - s2.t1), 0) AS BIGINT)
+                 AS sum_us_view_to_purchase
+        FROM users u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    doc="Ordered conversion funnel view→click→purchase: each step's "
+    "timestamp must strictly follow the previous step's (min qualifying "
+    "time per user, the standard funnel semantics — a click BEFORE the "
+    "first view does not count). Per-step frames are user-keyed "
+    "aggregates joined on user_id, so one hash partitioning serves every "
+    "stage; conversion latencies are exact integer-µs sums. Final result "
+    "is ONE row — at 100 TB the only big shuffle is the per-user "
+    "min-reduction, which partial-aggregates map-side.",
+    tags=("events", "funnel", "analytics", "join"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    joined = (
+        users.join(s1, "user_id", "left")
+        .join(s2.select("user_id", "t2", F.col("t1").alias("t1b")), "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.coalesce(F.sum(F.col("t2") - F.col("t1b")), F.lit(0))
+        .cast("long")
+        .alias("sum_us_view_to_click"),
+        F.coalesce(F.sum(F.col("t3") - F.col("t1b")), F.lit(0))
+        .cast("long")
+        .alias("sum_us_view_to_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH act AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(a.d AS DATE)) AS BIGINT)
+                 AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Classic cohort retention matrix: cohort = a user's first active "
+    "day, cell (cohort_day, day_offset) counts users from that cohort "
+    "active offset days later. Two user-keyed aggregates (the distinct "
+    "activity set and the first-day reduction) share one partitioning; "
+    "the output is cohort-days × offsets — tiny at any corpus scale. "
+    "The (user, day) distinct is the only fact-sized shuffle.",
+    tags=("events", "retention", "analytics", "agg"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("d"), F.to_date("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS to_type
+          FROM events
+        ),
+        pairs AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 AS p
+        FROM pairs
+    """,
+    doc="First-order Markov transition matrix of the per-user event "
+    "stream: adjacent (from, to) event-type pairs via a lead window "
+    "ordered by exact event time (event_id tie-break), counted, with the "
+    "row-conditional transition probability (single double division of "
+    "exact integer counts). One user-keyed shuffle for the window; the "
+    "pair aggregate is event-type²-sized — constant — so its exchange "
+    "and the normalizing window are negligible at any scale.",
+    tags=("events", "markov", "analytics", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(total).cast("double")
+        ).alias("p"),
+    )
+
+
+@register(
+    "timeseries_rollup_cascade",
+    oracle="""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM events GROUP BY 1
+        ),
+        daily AS (
+          SELECT date_trunc('day', bucket_ts) AS bucket_ts,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(value_cents) AS BIGINT) AS value_cents
+          FROM hourly GROUP BY 1
+        ),
+        monthly AS (
+          SELECT date_trunc('month', bucket_ts) AS bucket_ts,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(value_cents) AS BIGINT) AS value_cents
+          FROM daily GROUP BY 1
+        )
+        SELECT 'hour' AS granularity, * FROM hourly
+        UNION ALL SELECT 'day', * FROM daily
+        UNION ALL SELECT 'month', * FROM monthly
+    """,
+    doc="Hypertable-style continuous-aggregate cascade: ONE fact-sized "
+    "shuffle produces the hourly partials, then day and month roll up "
+    "FROM the hourly frame (sums of sums — exact integer counts and "
+    "cents, so re-aggregation is lossless). The naive form scans the "
+    "fact table three times (the oracle does, for clarity); the cascade "
+    "touches it once — the difference between 3×100 TB and 100 TB + "
+    "two bucket-sized re-aggs. Value sums use exact integer cents "
+    "(round(value·100) per row) — no float accumulation order anywhere.",
+    tags=("events", "timeseries", "rollup", "agg"),
+)
+def timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents")
+    )
+    hourly = hourly.localCheckpoint(eager=False)  # reused by 2 rollups + union
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"))
+        .agg(F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "bucket_ts").alias("bucket_ts"))
+        .agg(F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents"))
+    )
+    tag = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("granularity"),
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+    return (
+        tag(hourly, "hour")
+        .unionAll(tag(daily, "day"))
+        .unionAll(tag(monthly, "month"))
+    )

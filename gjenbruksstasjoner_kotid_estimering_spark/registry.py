@@ -63,6 +63,10 @@ def register(
 # Round-4 list = (all-registered minus r01∪r02∪r03) + r01-last-seen rotation.
 _PRIORITY: tuple[str, ...] = (
     # new this round — never driver-seen.
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "timeseries_rollup_cascade",
     "text_segment_dedup",
     "text_bm25_rank",
     "events_anomaly_mad",
@@ -164,6 +168,7 @@ def _load_all() -> None:
     from .operators import merge_tx  # noqa: F401  # round-4 additions
     from .operators import traindata3  # noqa: F401  # round-4 additions
     from .operators import traindata4  # noqa: F401  # round-4 additions
+    from .plans import analytics  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions

@@ -1,0 +1,126 @@
+"""Semantics for the event-analytics operators (funnel, retention,
+transition matrix, rollup cascade). Oracle parity runs in
+test_correctness.py; here the right answers are known by construction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark.plans.analytics import (
+    events_funnel,
+    events_retention_cohorts,
+    events_transition_matrix,
+    timeseries_rollup_cascade,
+)
+
+SF = "/root/testdata/sf0.001"
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, schema=EV_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_ordering_is_strict(spark, tmp_path):
+    rows = [
+        # user 1: full ordered funnel view(1) -> click(2) -> purchase(3)
+        (1, _ts(1), 1, "view", 0.0, "{}"),
+        (2, _ts(2), 1, "click", 0.0, "{}"),
+        (3, _ts(3), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE first view -> stops at view step
+        (4, _ts(1), 2, "click", 0.0, "{}"),
+        (5, _ts(2), 2, "view", 0.0, "{}"),
+        # user 3: view then purchase but never click -> stops at view
+        (6, _ts(1), 3, "view", 0.0, "{}"),
+        (7, _ts(2), 3, "purchase", 0.0, "{}"),
+        # user 4: no view at all
+        (8, _ts(1), 4, "error", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_funnel(spark, sf).collect()[0]
+    assert (r.n_users, r.n_view, r.n_view_click, r.n_full_funnel) == (4, 3, 1, 1)
+    assert r.sum_us_view_to_click == 60 * 1_000_000  # user 1: 1 minute
+    assert r.sum_us_view_to_purchase == 120 * 1_000_000
+
+
+def test_funnel_counts_are_monotone(spark):
+    r = events_funnel(spark, SF).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+
+
+def test_retention_day_zero_equals_cohort_size(spark):
+    """Every user is active on their own first day, so the offset-0 cells
+    partition the user base: Σ n_active(offset=0) == n_users."""
+    out = events_retention_cohorts(spark, SF)
+    day0 = (
+        out.where(F.col("day_offset") == 0).agg(F.sum("n_active")).collect()[0][0]
+    )
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert day0 == n_users
+    assert out.where(F.col("day_offset") < 0).count() == 0
+
+
+def test_transition_matrix_probabilities(spark):
+    rows = events_transition_matrix(spark, SF).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    ev = load_table(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user's chain of k events yields k-1 transitions
+    assert sum(r.n for r in rows) == n_events - n_users
+    for rs in by_from.values():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9
+        assert all(r.p > 0 for r in rs)
+
+
+def test_rollup_cascade_is_consistent(spark):
+    out = timeseries_rollup_cascade(spark, SF).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.granularity, []).append(r)
+    assert set(by_g) == {"hour", "day", "month"}
+    # each level re-aggregates the finer one losslessly
+    for fine, coarse in (("hour", "day"), ("day", "month")):
+        assert sum(r.n for r in by_g[fine]) == sum(r.n for r in by_g[coarse])
+        assert sum(r.value_cents for r in by_g[fine]) == sum(
+            r.value_cents for r in by_g[coarse]
+        )
+    assert len(by_g["hour"]) >= len(by_g["day"]) >= len(by_g["month"])
+
+
+def test_audio_stats_linear_form_matches_bytes(spark, tmp_path):
+    """The hex-pair split must reproduce exact UTF-8 byte values."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata3 import (
+        multimodal_audio_stats,
+    )
+
+    rows = [(1, "AB0", "en", "x", 0)]  # bytes 65, 66, 48
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = multimodal_audio_stats(spark, str(tmp_path)).collect()[0]
+    assert (r.n_samples, r.amp_sum, r.amp_peak, r.amp_floor) == (
+        3,
+        65 + 66 + 48,
+        66,
+        48,
+    )
