@@ -63,6 +63,7 @@ def register(
 # Round-4 list = (all-registered minus r01∪r02∪r03) + r01-last-seen rotation.
 _PRIORITY: tuple[str, ...] = (
     # new this round — never driver-seen.
+    "stream_error_followup_join",
     "events_funnel",
     "events_retention_cohorts",
     "events_transition_matrix",

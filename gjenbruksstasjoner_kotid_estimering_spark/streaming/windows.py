@@ -118,3 +118,51 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_error_followup_join",
+    oracle="""
+        SELECT e1.user_id AS err_user, e1.ts AS err_ts,
+               e1.value AS err_value,
+               e2.user_id, e2.ts, e2.event_id, e2.value
+        FROM events e1
+        JOIN events e2
+          ON e1.event_type = 'error'
+         AND e2.user_id = e1.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    """,
+    doc="TRUE streaming stream-stream join, oracle-checked: the "
+    "watermarked error-followup join (streaming/file_stream."
+    "error_followup_join — each 'error' paired with the same user's "
+    "events in the next 10 minutes) is EXECUTED through readStream → "
+    "join → AvailableNow → memory sink, then the drained sink is "
+    "compared against the batch interval-self-join oracle. An INNER "
+    "interval join over an AvailableNow drain is deterministic (the "
+    "watermark bounds state, not output), so unlike the windowed/"
+    "session streaming rows it can carry a full value-hash oracle. "
+    "Scale posture: both sides' 30-min watermarks keep join state "
+    "bounded to the interval horizon per user; at 100 TB this runs "
+    "continuously with the same plan.",
+    tags=("streaming", "join", "interval"),
+)
+def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .file_stream import error_followup_join, read_events_stream
+
+    name = "stream_err_join_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_err_join_")
+    joined = error_followup_join(read_events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
