@@ -423,7 +423,12 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash_df(d)
+    # The band bucketing self-joins this frame; without a checkpoint BOTH
+    # join sides re-execute the full explode + 64-way bit-vote aggregate
+    # (self-joins on different keys get no exchange reuse). The signature
+    # frame is doc-count-sized (2 columns), so materializing it once is
+    # the cheap side of that trade at any scale.
+    sigs = simhash_df(d).localCheckpoint(eager=False)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = sigs.select(
         "doc_id",
