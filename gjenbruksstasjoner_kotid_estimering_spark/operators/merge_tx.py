@@ -350,3 +350,211 @@ def run_streaming_merge(
             order_col=["ts", "event_id"],
         ),
     )
+
+
+# --- snapshot history: time travel + change data feed ------------------
+
+def snapshot_at(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame | None:
+    """Time-travel read: the table exactly as committed at ``version``.
+
+    Free by construction — every version's manifest lists immutable data
+    files that no later merge modifies (copy-on-write), so an old
+    snapshot is just "read the old manifest". The Delta/Iceberg
+    ``VERSION AS OF`` semantics without any extra bookkeeping."""
+    files = _read_manifest(table_dir, version)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log: [{version, n_files}] ascending — the audit surface a
+    lakehouse table exposes (``DESCRIBE HISTORY``)."""
+    out = []
+    for v in range(1, current_version(table_dir) + 1):
+        out.append({"version": v, "n_files": len(_read_manifest(table_dir, v))})
+    return out
+
+
+def changes_between(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Change data feed between two committed versions: one row per key
+    whose row changed, with ``change_type`` ∈ insert / update / delete
+    and the post-image columns (pre-image for deletes).
+
+    Computed as a key-keyed full outer join of the two snapshots with a
+    whole-row struct comparison — O(|v_from| + |v_to|) with one shuffle
+    per side, no dependence on how many merges lie between the
+    versions. (Delta derives CDF from per-commit actions; diffing
+    snapshots is the format-agnostic equivalent and exact for
+    last-write-wins tables.)"""
+    a = snapshot_at(spark, table_dir, v_from)
+    b = snapshot_at(spark, table_dir, v_to)
+    if a is None or b is None:
+        raise ValueError("both versions must exist and be non-empty")
+    payload = [c for c in a.columns if c not in key_cols]
+    a_s = a.select(*key_cols, F.struct(*payload).alias("_a"))
+    b_s = b.select(*key_cols, F.struct(*payload).alias("_b"))
+    j = a_s.join(b_s, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_a").isNull(), F.lit("insert"))
+        .when(F.col("_b").isNull(), F.lit("delete"))
+        .when(F.col("_a") != F.col("_b"), F.lit("update"))
+        .otherwise(F.lit("none"))
+    )
+    img = F.coalesce(F.col("_b"), F.col("_a"))
+    return (
+        j.select(
+            *key_cols,
+            change.alias("change_type"),
+            *[img[c].alias(c) for c in payload],
+        )
+        .where(F.col("change_type") != "none")
+    )
+
+
+def _seed_and_two_merges(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Shared fixture for the time-travel/CDF registry queries: seed
+    customer balances (v1), MERGE orders-derived balances for custkey%7
+    (v2), then custkey%5 (v3)."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{sf_tag}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    for mod in (7, 5):
+        upd = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("acctbal_cents")
+            )
+            .withColumn("merged", F.lit(True))
+            .withColumn("_ord", F.lit(1))
+        )
+        merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
+    return table_dir
+
+
+_VERSIONED_STATES_SQL = """
+        base AS (
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                   FALSE AS merged
+            FROM customer
+        ),
+        upd7 AS (
+            SELECT o_custkey AS k,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+        ),
+        upd5 AS (
+            SELECT o_custkey AS k,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey
+        ),
+        v2 AS (
+            SELECT b.c_custkey,
+                   COALESCE(u.cents, b.cents) AS cents,
+                   (u.k IS NOT NULL) OR b.merged AS merged
+            FROM base b LEFT JOIN upd7 u ON b.c_custkey = u.k
+        ),
+        v3 AS (
+            SELECT v.c_custkey,
+                   COALESCE(u.cents, v.cents) AS cents,
+                   (u.k IS NOT NULL) OR v.merged AS merged
+            FROM v2 v LEFT JOIN upd5 u ON v.c_custkey = u.k
+        )
+"""
+
+
+@register(
+    "merge_tx_time_travel",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT) AS n_merged,
+               CAST(sum(cents) AS BIGINT) AS acctbal_sum_cents
+        FROM base
+        UNION ALL
+        SELECT 2, count(*), count(*) FILTER (WHERE merged), sum(cents)
+        FROM v2
+        UNION ALL
+        SELECT 3, count(*), count(*) FILTER (WHERE merged), sum(cents)
+        FROM v3
+    """,
+    doc="Time travel over the transactional MERGE table: seed (v1) + two "
+    "MERGE commits (v2: custkey%7 balances, v3: custkey%5), then read "
+    "ALL THREE versions back via their manifests and summarize each "
+    "(row count, merged count, exact integer-cents balance sum). "
+    "Old snapshots are free under copy-on-write — immutable data files "
+    "+ per-version manifests, no log replay. The oracle recomputes the "
+    "three states relationally, so the hash gate proves snapshot "
+    "isolation really preserved v1 and v2 bit-for-bit after later "
+    "commits.",
+    tags=("sink", "merge", "transaction", "timetravel"),
+)
+def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = _seed_and_two_merges(spark, sf_dir, "merge_tt")
+    out = None
+    for v in (1, 2, 3):
+        snap = snapshot_at(spark, table_dir, v)
+        summary = snap.agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("merged")).alias("n_merged"),
+            F.sum("acctbal_cents").alias("acctbal_sum_cents"),
+        )
+        out = summary if out is None else out.unionAll(summary)
+    return out
+
+
+@register(
+    "merge_tx_changes",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT v2.c_custkey,
+               CASE WHEN v3.cents != v2.cents
+                         OR v3.merged != v2.merged
+                    THEN 'update' END AS change_type,
+               v3.cents AS acctbal_cents,
+               v3.merged
+        FROM v2 JOIN v3 ON v2.c_custkey = v3.c_custkey
+        WHERE v3.cents != v2.cents OR v3.merged != v2.merged
+    """,
+    doc="Change data feed between two MERGE commits (v2 → v3): full-outer "
+    "key join of the two snapshots with whole-row struct comparison — "
+    "insert/update/delete post-images, independent of how many commits "
+    "separate the versions. On this workload every change is an update "
+    "(orders keys ⊆ customer keys ⇒ no inserts; MERGE never deletes), "
+    "which the oracle mirrors as an inequality join of the recomputed "
+    "states.",
+    tags=("sink", "merge", "transaction", "cdf"),
+)
+def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = _seed_and_two_merges(spark, sf_dir, "merge_cdf")
+    return changes_between(
+        spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
+    )

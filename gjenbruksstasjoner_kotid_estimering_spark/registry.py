@@ -64,6 +64,8 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # new this round — never driver-seen.
     "stream_error_followup_join",
+    "merge_tx_time_travel",
+    "merge_tx_changes",
     "events_funnel",
     "events_retention_cohorts",
     "events_transition_matrix",

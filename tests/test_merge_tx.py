@@ -260,3 +260,40 @@ def test_empty_table_merge_bootstraps(spark, tmp_path):
     assert v == 1
     snap, _ = mt.snapshot(spark, t)
     assert snap.count() == 1
+
+
+def test_time_travel_preserves_old_versions(spark, tmp_path):
+    t = str(tmp_path / "tt")
+    _seed(spark, t, n=10)  # v1: k=0..9, v = 10k
+    mt.merge(spark, t, _updates(spark, [(1, 111, 1)]), ["k"], "_ord")  # v2
+    mt.merge(spark, t, _updates(spark, [(2, 222, 1)]), ["k"], "_ord")  # v3
+    v1 = {r.k: r.v for r in mt.snapshot_at(spark, t, 1).collect()}
+    v2 = {r.k: r.v for r in mt.snapshot_at(spark, t, 2).collect()}
+    v3 = {r.k: r.v for r in mt.snapshot_at(spark, t, 3).collect()}
+    assert v1[1] == 10 and v1[2] == 20  # v1 untouched by later commits
+    assert v2[1] == 111 and v2[2] == 20
+    assert v3[1] == 111 and v3[2] == 222
+    assert mt.snapshot_at(spark, t, 0) is None
+    assert [h["version"] for h in mt.history(t)] == [1, 2, 3]
+
+
+def test_changes_between_detects_all_change_types(spark, tmp_path):
+    t = str(tmp_path / "cdf")
+    _seed(spark, t, n=5)  # keys 0..4
+    # v2: update k=1, insert k=99
+    mt.merge(spark, t, _updates(spark, [(1, 111, 1), (99, 990, 1)]), ["k"], "_ord")
+    ch = {
+        r.k: (r.change_type, r.v)
+        for r in mt.changes_between(spark, t, ["k"], 1, 2).collect()
+    }
+    assert ch[1] == ("update", 111)
+    assert ch[99] == ("insert", 990)
+    assert set(ch) == {1, 99}  # unchanged keys emit nothing
+    # identical versions → empty feed
+    assert mt.changes_between(spark, t, ["k"], 2, 2).count() == 0
+    # reversed direction reports the insert as a delete (pre-image kept)
+    rev = {
+        r.k: r.change_type
+        for r in mt.changes_between(spark, t, ["k"], 2, 1).collect()
+    }
+    assert rev[99] == "delete"
