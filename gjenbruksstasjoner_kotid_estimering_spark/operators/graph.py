@@ -162,3 +162,80 @@ def pagerank(
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(cooccurrence_edges(spark, sf_dir))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id % 10 AS station, date_trunc('day', ts) AS day,
+                 user_id AS u, count(*) AS n_events
+          FROM events GROUP BY 1, 2, 3
+        ),
+        capped AS (
+          SELECT station, day, u
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY station, day
+                  ORDER BY n_events DESC, u ASC) AS rn
+                FROM per_user)
+          WHERE rn <= {MAX_USERS_PER_GROUP}
+        ),
+        edges AS (
+          SELECT DISTINCT a.u AS ua, b.u AS ub
+          FROM capped a JOIN capped b
+            ON a.station = b.station AND a.day = b.day AND a.u < b.u
+        ),
+        tris AS (
+          SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.ua = e1.ub
+          JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+        ),
+        membership AS (
+          SELECT a AS user_id FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM membership GROUP BY user_id
+    """,
+    doc="Exact triangle counting per node over the capped co-occurrence "
+    "graph: canonical a<b<c enumeration (each edge oriented low→high, "
+    "so every triangle materializes exactly once) via two edge "
+    "self-joins, then per-node membership counts. The same "
+    "top-K-per-group cap that bounds PageRank's edge derivation bounds "
+    "the join fan-out here: per group pairs ≤ K(K-1)/2 and the "
+    "wedge-join's per-key width is a node's capped degree. The edge "
+    "set is materialized once (localCheckpoint) instead of thrice — "
+    "the derivation is itself a windowed self-join. Distinct-pair "
+    "edges (weights irrelevant to topology) keep the wedge join "
+    "minimal.",
+    tags=("graph", "triangles", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        cooccurrence_edges(spark, sf_dir)
+        .select(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))
+        .join(
+            e3,
+            (F.col("e3.ua") == F.col("e1.ua"))
+            & (F.col("e3.ub") == F.col("e2.ub")),
+        )
+        .select(
+            F.col("e1.ua").alias("a"),
+            F.col("e1.ub").alias("b"),
+            F.col("e2.ub").alias("c"),
+        )
+    )
+    return (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("user_id")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -274,3 +274,111 @@ def timeseries_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag(daily, "day"))
         .unionAll(tag(monthly, "month"))
     )
+
+
+@register(
+    "events_pattern_peaks",
+    oracle="""
+        WITH ordered AS (
+          SELECT user_id, value,
+                 lag(value) OVER w AS prev_v,
+                 lead(value) OVER w AS next_v,
+                 CASE WHEN lag(value) OVER w IS NOT NULL
+                           AND value > lag(value) OVER w
+                      THEN 0 ELSE 1 END AS brk,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        ),
+        runs AS (
+          SELECT user_id, rn,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM ordered
+        ),
+        run_len AS (
+          SELECT user_id, run_id, count(*) AS len
+          FROM runs GROUP BY user_id, run_id
+        )
+        SELECT o.user_id,
+               CAST(count(*) FILTER (WHERE o.prev_v IS NOT NULL
+                                       AND o.next_v IS NOT NULL
+                                       AND o.value > o.prev_v
+                                       AND o.value > o.next_v)
+                    AS BIGINT) AS n_peaks,
+               CAST(count(*) FILTER (WHERE o.prev_v IS NOT NULL
+                                       AND o.next_v IS NOT NULL
+                                       AND o.value < o.prev_v
+                                       AND o.value < o.next_v)
+                    AS BIGINT) AS n_valleys,
+               CAST(max(l.max_len) AS BIGINT) AS max_inc_run
+        FROM ordered o
+        JOIN (SELECT user_id, max(len) AS max_len
+              FROM run_len GROUP BY user_id) l
+          ON o.user_id = l.user_id
+        GROUP BY o.user_id
+    """,
+    doc="MATCH_RECOGNIZE-style sequence-pattern detection without the "
+    "clause (Spark lacks it): per-user peak count (strict local "
+    "maxima), valley count, and longest strictly-increasing run, all "
+    "from lag/lead plus the reset-flag cumulative-sum island trick. "
+    "Exact double comparisons on input values — no derived float "
+    "arithmetic. ONE shuffle on user_id serves the lag/lead window, "
+    "the running sum, and both per-user aggregates (keys are "
+    "supersets). The relational form of V-shape / trend-break "
+    "detection a time-series engine exposes as MATCH_RECOGNIZE.",
+    tags=("events", "pattern", "window", "analytics"),
+)
+def events_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.when(
+            F.lag("value").over(w).isNotNull()
+            & (F.col("value") > F.lag("value").over(w)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("brk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = ordered.withColumn("run_id", F.sum("brk").over(wsum))
+    run_max = (
+        runs.groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("max_len"))
+    )
+    is_peak = (
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") > F.col("prev_v"))
+        & (F.col("value") > F.col("next_v"))
+    )
+    is_valley = (
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") < F.col("prev_v"))
+        & (F.col("value") < F.col("next_v"))
+    )
+    return (
+        ordered.join(run_max, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(is_peak).alias("n_peaks"),
+            F.count_if(is_valley).alias("n_valleys"),
+            F.max("max_len").cast("long").alias("max_inc_run"),
+        )
+    )

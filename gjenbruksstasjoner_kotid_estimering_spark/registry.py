@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_error_followup_join",
     "merge_tx_time_travel",
     "merge_tx_changes",
+    "graph_triangle_count",
+    "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",
     "events_transition_matrix",

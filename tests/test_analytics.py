@@ -124,3 +124,56 @@ def test_audio_stats_linear_form_matches_bytes(spark, tmp_path):
         66,
         48,
     )
+
+
+def test_pattern_peaks_on_known_sequence(spark, tmp_path):
+    # user 1 values over time: 1, 3, 2, 5, 4  -> peaks at 3 and 5 (=2),
+    # valley at 2 (=1), longest strictly-increasing run = 2 (e.g. 2->5)
+    rows = [
+        (i, _ts(i), 1, "view", v, "{}")
+        for i, v in enumerate([1.0, 3.0, 2.0, 5.0, 4.0], 1)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.analytics import (
+        events_pattern_peaks,
+    )
+
+    r = events_pattern_peaks(spark, sf).collect()[0]
+    assert (r.n_peaks, r.n_valleys, r.max_inc_run) == (2, 1, 2)
+
+
+def test_triangle_count_on_clique(spark, tmp_path):
+    """A 4-clique (users 10,20,30,40 all share station 0 on one day) has
+    C(4,3)=4 triangles and every member sits in C(3,2)=3 of them; user 50
+    (station 0, different day, alone) joins no triangle."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.graph import (
+        graph_triangle_count,
+    )
+
+    rows = [
+        (i, _ts(i), u, "view", 0.0, "{}")
+        for i, u in enumerate([10, 20, 30, 40], 1)
+    ] + [(5, dt.datetime(2024, 2, 1), 50, "view", 0.0, "{}")]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.user_id: r.n_triangles for r in graph_triangle_count(spark, sf).collect()}
+    assert got == {10: 3, 20: 3, 30: 3, 40: 3}
+
+
+def test_triangle_count_bounds_on_corpus(spark):
+    """On the real corpus: Σ n_triangles ≡ 0 (mod 3) and each node's
+    count is bounded by C(degree, 2). Empty at sparse scale is legal."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.graph import (
+        cooccurrence_edges,
+        graph_triangle_count,
+    )
+
+    rows = graph_triangle_count(spark, SF).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+    deg: dict = {}
+    for e in cooccurrence_edges(spark, SF).collect():
+        deg[e.user_a] = deg.get(e.user_a, 0) + 1
+        deg[e.user_b] = deg.get(e.user_b, 0) + 1
+    for r in rows:
+        d = deg[r.user_id]
+        assert r.n_triangles <= d * (d - 1) // 2
