@@ -1,0 +1,240 @@
+"""Statistics / profiling lane — table profiling, exact-moment
+correlation + regression, and an A/B significance test, all
+oracle-checked.
+
+Cross-engine float discipline (the repo convention): every sum is an
+exact integer sum (counts, cents, squared cents — BIGINT), and the final
+statistic is a short fixed-order chain of +, −, ×, ÷ and sqrt, every one
+of which IEEE-754 requires to be exactly rounded — so identical operand
+order ⇒ identical bits on Spark and DuckDB. No float accumulations, no
+libm transcendentals.
+
+The reference's analytics surface is a single linear estimate
+(reference estimate_queue.py:103-116, np.interp over calibration points);
+this lane generalizes to the standard statistics a warehouse exposes
+(profiling/ANALYZE, corr/regr_* aggregates, experiment readouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+@register(
+    "profile_columns",
+    oracle=f"""
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS column_name,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+                FROM lineitem'''
+            for c in PROFILE_COLS
+        )}
+    """,
+    doc="Table profiling (the ANALYZE/SUMMARIZE surface): per column — "
+    "row count, null count, EXACT distinct count — emitted long-format "
+    "so downstream quality checks join on column_name. One pass over "
+    "the fact table; multiple exact distincts expand via Spark's "
+    "Expand operator (rows × columns), the price of exactness — the "
+    "100 TB form swaps in approx_count_distinct (see "
+    "agg_approx_distinct) with the identical plan minus Expand.",
+    tags=("stats", "profile", "agg"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    prof = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}")
+            for c in PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in PROFILE_COLS],
+    )
+    for c in PROFILE_COLS:
+        row = prof.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "stat_regression_exact",
+    oracle="""
+        WITH pts AS (
+          SELECT event_type,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS x,
+                 CAST(hour(ts) AS BIGINT) AS y
+          FROM events
+        ),
+        moments AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n, sx, sy, sxx, syy, sxy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        FROM moments
+    """,
+    doc="Exact-moment Pearson correlation + least-squares slope per "
+    "group (value-cents vs hour-of-day): the five sufficient moments "
+    "are EXACT integer sums (so the shuffle carries six bigints per "
+    "group and map-side combines), and r/slope are fixed-order chains "
+    "of exactly-rounded IEEE ops (÷, ×, sqrt) — bit-stable across "
+    "engines, unlike corr()'s engine-internal float accumulation "
+    "order. At 100 TB moment magnitudes approach BIGINT limits ⇒ the "
+    "production variant widens the sums to DECIMAL(38,0) with the "
+    "same plan.",
+    tags=("stats", "corr", "regression", "agg"),
+)
+def stat_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("r"),
+        (cov_n / var_x).alias("slope"),
+    )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id, user_id % 2 AS variant,
+                 max(CASE WHEN event_type = 'purchase'
+                              AND value > 100.0 THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY user_id
+        ),
+        arms AS (
+          SELECT CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+                 CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+                 CAST(sum(converted) FILTER (WHERE variant = 0)
+                      AS BIGINT) AS conv_a,
+                 CAST(sum(converted) FILTER (WHERE variant = 1)
+                      AS BIGINT) AS conv_b
+          FROM per_user
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        FROM arms
+    """,
+    doc="Two-proportion z-test readout for an A/B split (variant = "
+    "user_id parity, conversion = any purchase over 100): per-user conversion "
+    "flags reduce to four exact integers, then rates and the pooled "
+    "z-statistic are fixed-order exactly-rounded IEEE chains (÷, ×, "
+    "sqrt — no libm). The whole experiment readout is ONE user-keyed "
+    "aggregate plus a single-row reduction; at 100 TB the per-user "
+    "frame partial-aggregates map-side and nothing else is "
+    "fact-sized.",
+    tags=("stats", "abtest", "agg"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 100.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    arms = per_user.agg(
+        F.count_if(F.col("variant") == 0).alias("n_a"),
+        F.count_if(F.col("variant") == 1).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z"),
+    )

@@ -67,6 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_time_travel",
     "merge_tx_changes",
     "graph_triangle_count",
+    "profile_columns",
+    "stat_regression_exact",
+    "events_ab_test",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",
@@ -174,6 +177,7 @@ def _load_all() -> None:
     from .operators import traindata3  # noqa: F401  # round-4 additions
     from .operators import traindata4  # noqa: F401  # round-4 additions
     from .plans import analytics  # noqa: F401  # round-4 additions
+    from .plans import stats  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions

@@ -177,3 +177,57 @@ def test_triangle_count_bounds_on_corpus(spark):
     for r in rows:
         d = deg[r.user_id]
         assert r.n_triangles <= d * (d - 1) // 2
+
+
+def test_regression_matches_numpy(spark):
+    import numpy as np
+
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.stats import (
+        stat_regression_exact,
+    )
+
+    got = {r.event_type: r for r in stat_regression_exact(spark, SF).collect()}
+    pdf = load_table(spark, SF, "events").select(
+        "event_type", "value", F.hour("ts").alias("h")
+    ).toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        x = np.round(grp["value"].to_numpy() * 100.0)
+        y = grp["h"].to_numpy().astype(float)
+        r_np = np.corrcoef(x, y)[0, 1]
+        slope_np = np.polyfit(x, y, 1)[0]
+        assert abs(got[etype].r - r_np) < 1e-9
+        assert abs(got[etype].slope - slope_np) < 1e-9
+
+
+def test_ab_test_readout_consistent(spark):
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.stats import (
+        events_ab_test,
+    )
+
+    r = events_ab_test(spark, SF).collect()[0]
+    assert r.n_a + r.n_b == (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert 0 < r.conv_a <= r.n_a and 0 < r.conv_b <= r.n_b
+    assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-15
+    import math
+
+    pooled = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    z = (r.rate_a - r.rate_b) / math.sqrt(
+        pooled * (1 - pooled) * (1 / r.n_a + 1 / r.n_b)
+    )
+    assert abs(r.z - z) < 1e-12
+
+
+def test_profile_columns_exact_distincts(spark):
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.stats import (
+        profile_columns,
+    )
+
+    got = {r.column_name: r for r in profile_columns(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    for c, r in got.items():
+        assert r.n_rows == n
+        assert r.n_distinct == li.select(c).distinct().count()
+        assert r.n_nulls == li.where(F.col(c).isNull()).count()
