@@ -238,3 +238,111 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.alias("rate_b"),
         z.alias("z"),
     )
+
+
+MIN_PAIR_SUPPORT = 2
+TOP_BASKET_PAIRS = 100
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n_orders AS (
+          SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+          FROM baskets
+        ),
+        item_counts AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+          FROM baskets GROUP BY l_partkey
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_pair
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {MIN_PAIR_SUPPORT}
+        )
+        SELECT p.part_a, p.part_b, p.n_pair,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(p.n_pair AS DOUBLE) / CAST(o.n AS DOUBLE) AS support,
+               CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+                 AS confidence_a_b,
+               (CAST(p.n_pair AS DOUBLE) * CAST(o.n AS DOUBLE))
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+                 AS lift
+        FROM pairs p
+        JOIN item_counts ia ON p.part_a = ia.l_partkey
+        JOIN item_counts ib ON p.part_b = ib.l_partkey
+        CROSS JOIN n_orders o
+        ORDER BY n_pair DESC, part_a, part_b
+        LIMIT {TOP_BASKET_PAIRS}
+    """,
+    doc="Market-basket association rules over order baskets: co-purchased "
+    "part pairs with support, confidence and lift (exact integer counts; "
+    "each statistic one fixed-order division chain). Pair generation is "
+    "an order-keyed self-join whose per-order fan-out is C(items,2) — "
+    "TPC-H orders hold ≤7 items, and real baskets are similarly tiny, "
+    "so the pair space is linear in orders at any scale; min-support "
+    "pruning happens IN the pair aggregate (HAVING) before the "
+    "dimension joins, and the bounded result is TakeOrdered. The "
+    "item-count and order-count sides are item-/one-row-sized and "
+    "broadcast.",
+    tags=("stats", "basket", "association", "join"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    ).localCheckpoint(eager=False)  # reused by pairs + item counts + n
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item_counts = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= MIN_PAIR_SUPPORT)
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_pair").cast("double") / F.lit(float(n_orders))
+            ).alias("support"),
+            (
+                F.col("n_pair").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence_a_b"),
+            (
+                (F.col("n_pair").cast("double") * F.lit(float(n_orders)))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_pair").desc(), "part_a", "part_b"
+    ).limit(TOP_BASKET_PAIRS)

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "profile_columns",
     "stat_regression_exact",
     "events_ab_test",
+    "basket_part_pairs",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

@@ -231,3 +231,34 @@ def test_profile_columns_exact_distincts(spark):
         assert r.n_rows == n
         assert r.n_distinct == li.select(c).distinct().count()
         assert r.n_nulls == li.where(F.col(c).isNull()).count()
+
+
+def test_basket_pairs_counts(spark, tmp_path):
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.stats import (
+        basket_part_pairs,
+    )
+
+    # orders: o1 {1,2,3}, o2 {1,2}, o3 {1,2}, o4 {3}
+    rows = []
+    for ok, parts in [(1, [1, 2, 3]), (2, [1, 2]), (3, [1, 2]), (4, [3])]:
+        for p in parts:
+            rows.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        rows,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.part_a, r.part_b): r
+        for r in basket_part_pairs(spark, str(tmp_path)).collect()
+    }
+    # (1,2) co-occurs in 3 of 4 orders; (1,3)/(2,3) only once -> pruned
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.n_pair, r.n_a, r.n_b) == (3, 3, 3)
+    assert abs(r.support - 3 / 4) < 1e-15
+    assert abs(r.confidence_a_b - 1.0) < 1e-15
+    assert abs(r.lift - (3 * 4) / (3 * 3)) < 1e-15
