@@ -245,39 +245,7 @@ def merge(
     tags=("sink", "merge", "transaction", "upsert"),
 )
 def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
-    # Deterministic scratch location, wiped on entry: repeated bench /
-    # correctness sweeps reuse ONE table copy per scale factor instead of
-    # accumulating a fresh mkdtemp per invocation.
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_merge_tx_{sf_tag}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
-    base = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
-            "acctbal_cents"
-        ),
-        F.lit(False).alias("merged"),
-    )
-    _write_seed(spark, table_dir, base)
-
-    upd = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") % 7 == 0)
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(
-            F.round(F.sum("o_totalprice") * 100)
-            .cast("long")
-            .alias("acctbal_cents")
-        )
-        .withColumn("merged", F.lit(True))
-        .withColumn("_ord", F.lit(1))
-    )
-    merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
+    table_dir = _seed_and_merges(spark, sf_dir, "merge_tx", mods=(7,))
     snap, _ = snapshot(spark, table_dir)
     return snap.select("c_custkey", "acctbal_cents", "merged")
 
@@ -363,6 +331,8 @@ def snapshot_at(
     files that no later merge modifies (copy-on-write), so an old
     snapshot is just "read the old manifest". The Delta/Iceberg
     ``VERSION AS OF`` semantics without any extra bookkeeping."""
+    if version < 0 or version > current_version(table_dir):
+        return None
     files = _read_manifest(table_dir, version)
     if not files:
         return None
@@ -420,13 +390,21 @@ def changes_between(
     )
 
 
-def _seed_and_two_merges(spark: SparkSession, sf_dir: str, tag: str) -> str:
-    """Shared fixture for the time-travel/CDF registry queries: seed
-    customer balances (v1), MERGE orders-derived balances for custkey%7
-    (v2), then custkey%5 (v3)."""
+def _seed_and_merges(
+    spark: SparkSession, sf_dir: str, tag: str, mods: tuple[int, ...]
+) -> str:
+    """Shared fixture for every merge_tx registry query: seed customer
+    balances (v1), then one MERGE commit per modulus in ``mods``
+    (orders-derived balances for custkey % mod). upsert_merge_tx uses
+    mods=(7,); the time-travel/CDF queries use (7, 5) → versions 1..3.
+    One definition keeps the seed schema / cents rounding in lockstep
+    with the _VERSIONED_STATES_SQL oracle CTEs."""
     import shutil
     import tempfile
 
+    # Deterministic scratch location, wiped on entry: repeated bench /
+    # correctness sweeps reuse ONE table copy per (query, scale factor)
+    # instead of accumulating a fresh mkdtemp per invocation.
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = os.path.join(
         tempfile.gettempdir(), f"spark_graft_{tag}_{sf_tag}"
@@ -440,7 +418,7 @@ def _seed_and_two_merges(spark: SparkSession, sf_dir: str, tag: str) -> str:
         F.lit(False).alias("merged"),
     )
     _write_seed(spark, table_dir, base)
-    for mod in (7, 5):
+    for mod in mods:
         upd = (
             load_table(spark, sf_dir, "orders")
             .where(F.col("o_custkey") % mod == 0)
@@ -517,7 +495,7 @@ _VERSIONED_STATES_SQL = """
     tags=("sink", "merge", "transaction", "timetravel"),
 )
 def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table_dir = _seed_and_two_merges(spark, sf_dir, "merge_tt")
+    table_dir = _seed_and_merges(spark, sf_dir, "merge_tt", mods=(7, 5))
     out = None
     for v in (1, 2, 3):
         snap = snapshot_at(spark, table_dir, v)
@@ -554,7 +532,7 @@ def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "merge", "transaction", "cdf"),
 )
 def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table_dir = _seed_and_two_merges(spark, sf_dir, "merge_cdf")
+    table_dir = _seed_and_merges(spark, sf_dir, "merge_cdf", mods=(7, 5))
     return changes_between(
         spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
     )

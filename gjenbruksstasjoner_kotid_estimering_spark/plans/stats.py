@@ -55,7 +55,6 @@ PROFILE_COLS = (
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    out = None
     prof = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -64,15 +63,29 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         *[F.countDistinct(c).alias(f"nd_{c}") for c in PROFILE_COLS],
     )
-    for c in PROFILE_COLS:
-        row = prof.select(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows"),
-            F.col(f"nn_{c}").alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
+    # pivot the single aggregate row to long format by exploding an
+    # array of per-column structs — ONE aggregate subtree in the plan
+    # (a 5-way unionAll of selects over the same agg relies on exchange
+    # reuse to avoid 5 full scans; this needs no reuse at all)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return (
+        prof.select("n_rows", F.explode(per_col).alias("p"))
+        .select(
+            F.col("p.column_name").alias("column_name"),
+            "n_rows",
+            F.col("p.n_nulls").alias("n_nulls"),
+            F.col("p.n_distinct").alias("n_distinct"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 @register(
@@ -299,7 +312,12 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     ).localCheckpoint(eager=False)  # reused by pairs + item counts + n
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    # one-row order count folded back via broadcast cross join (the
+    # text_bm25_rank stats pattern) — no eager driver-side action at
+    # plan-build time, no snapshot constant baked into the plan
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
     item_counts = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_item")
     )
@@ -325,6 +343,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pairs.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
@@ -332,13 +351,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             (
-                F.col("n_pair").cast("double") / F.lit(float(n_orders))
+                F.col("n_pair").cast("double")
+                / F.col("n_orders").cast("double")
             ).alias("support"),
             (
                 F.col("n_pair").cast("double") / F.col("n_a").cast("double")
             ).alias("confidence_a_b"),
             (
-                (F.col("n_pair").cast("double") * F.lit(float(n_orders)))
+                (
+                    F.col("n_pair").cast("double")
+                    * F.col("n_orders").cast("double")
+                )
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )

@@ -148,13 +148,23 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "interval"),
 )
 def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
-    import uuid
 
     from .file_stream import error_followup_join, read_events_stream
 
-    name = "stream_err_join_" + uuid.uuid4().hex[:8]
-    ckpt = tempfile.mkdtemp(prefix="ckpt_err_join_")
+    # Deterministic per-scale scratch, wiped on entry (the merge_tx
+    # pattern): repeated bench/correctness sweeps reuse ONE checkpoint
+    # dir and ONE memory-sink table instead of leaking a fresh mkdtemp +
+    # uuid-named in-memory table (pinned in driver heap) per invocation.
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"stream_err_join_{sf_tag}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ckpt_err_join_{sf_tag}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(name)
     joined = error_followup_join(read_events_stream(spark, sf_dir))
     q = (
         joined.writeStream.trigger(availableNow=True)
