@@ -80,11 +80,15 @@ def current_version(table_dir: str) -> int:
     return max(versions, default=0)
 
 
-def _read_manifest(table_dir: str, version: int) -> list[str]:
+def _read_commit(table_dir: str, version: int) -> dict:
     if version == 0:
-        return []
+        return {"files": []}
     with open(_commit_path(table_dir, version)) as f:
-        return json.load(f)["files"]
+        return json.load(f)
+
+
+def _read_manifest(table_dir: str, version: int) -> list[str]:
+    return _read_commit(table_dir, version)["files"]
 
 
 def snapshot(spark: SparkSession, table_dir: str) -> tuple[DataFrame | None, int]:
@@ -98,18 +102,45 @@ def snapshot(spark: SparkSession, table_dir: str) -> tuple[DataFrame | None, int
     return spark.read.parquet(*files), v
 
 
-def _write_data_file(df: DataFrame, table_dir: str) -> list[str]:
-    """Write df as new immutable parquet files; return their paths."""
+def _write_data_file(
+    df: DataFrame, table_dir: str, stats_col: str | None = None
+) -> tuple[list[str], dict]:
+    """Write df as new immutable parquet files; return (paths, stats).
+
+    With ``stats_col``, also collect per-file [min, max] of that column
+    (one column-pruned scan of the just-written files, grouped by
+    input_file_name) — the Delta/Iceberg file-statistics convention that
+    makes ``snapshot_pruned`` skip files whose key range cannot match."""
     sub = os.path.join(table_dir, _DATA, uuid.uuid4().hex)
     df.write.mode("error").parquet(sub)
-    return sorted(
+    files = sorted(
         os.path.join(sub, n)
         for n in os.listdir(sub)
         if n.endswith(".parquet")
     )
+    stats: dict = {}
+    if stats_col is not None and files:
+        from urllib.parse import unquote, urlparse
+
+        spark = df.sparkSession
+        rows = (
+            spark.read.parquet(*files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi"))
+            .collect()
+        )
+        for r in rows:
+            stats[unquote(urlparse(r["_f"]).path)] = [r["lo"], r["hi"]]
+    return files, stats
 
 
-def _try_commit(table_dir: str, version: int, files: list[str]) -> None:
+def _try_commit(
+    table_dir: str,
+    version: int,
+    files: list[str],
+    stats_col: str | None = None,
+    stats: dict | None = None,
+) -> None:
     """Atomically PUBLISH a fully-written manifest.
 
     Atomic *creation* (O_EXCL on the final path) is not atomic
@@ -120,9 +151,11 @@ def _try_commit(table_dir: str, version: int, files: list[str]) -> None:
     ``os.link`` — link-to-existing-target fails (the conflict signal) and
     a crash before the link leaves only an ignorable temp file."""
     os.makedirs(os.path.join(table_dir, _COMMITS), exist_ok=True)
-    payload = json.dumps(
-        {"version": version, "files": files}, indent=0
-    ).encode()
+    body = {"version": version, "files": files}
+    if stats_col is not None:
+        body["stats_col"] = stats_col
+        body["stats"] = stats or {}
+    payload = json.dumps(body, indent=0).encode()
     final = _commit_path(table_dir, version)
     tmp = f"{final}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
@@ -173,8 +206,13 @@ def merge(
 
     for _ in range(max_retries):
         target, base_version = snapshot(spark, table_dir)
+        base_commit = _read_commit(table_dir, base_version)
+        stats_col = base_commit.get("stats_col")
+        new_stats: dict = {}
         if target is None:
-            new_files = _write_data_file(dedup, table_dir)
+            new_files, new_stats = _write_data_file(
+                dedup, table_dir, stats_col
+            )
             keep_files: list[str] = []
         else:
             keys = dedup.select(*key_cols)
@@ -198,12 +236,27 @@ def merge(
                 survivors = spark.read.parquet(*sorted(affected)).join(
                     F.broadcast(keys), key_cols, "left_anti"
                 )
-                new_files += _write_data_file(survivors, table_dir)
-            new_files += _write_data_file(
-                dedup.select(*(target.columns)), table_dir
+                fs, st = _write_data_file(survivors, table_dir, stats_col)
+                new_files += fs
+                new_stats.update(st)
+            fs, st = _write_data_file(
+                dedup.select(*(target.columns)), table_dir, stats_col
             )
+            new_files += fs
+            new_stats.update(st)
         try:
-            _try_commit(table_dir, base_version + 1, keep_files + new_files)
+            keep_stats = {
+                f: base_commit.get("stats", {})[f]
+                for f in keep_files
+                if f in base_commit.get("stats", {})
+            }
+            _try_commit(
+                table_dir,
+                base_version + 1,
+                keep_files + new_files,
+                stats_col=stats_col,
+                stats={**keep_stats, **new_stats},
+            )
             return base_version + 1
         except VersionConflict:
             # this attempt's data files are unreferenced by any manifest —
@@ -250,10 +303,22 @@ def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select("c_custkey", "acctbal_cents", "merged")
 
 
-def _write_seed(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
-    """Initialize a table: version-1 manifest over the seed files."""
-    files = _write_data_file(df, table_dir)
-    _try_commit(table_dir, current_version(table_dir) + 1, files)
+def _write_seed(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    stats_col: str | None = None,
+) -> int:
+    """Initialize a table: version-1 manifest over the seed files (with
+    per-file key stats when ``stats_col`` is given)."""
+    files, stats = _write_data_file(df, table_dir, stats_col)
+    _try_commit(
+        table_dir,
+        current_version(table_dir) + 1,
+        files,
+        stats_col=stats_col,
+        stats=stats,
+    )
     return current_version(table_dir)
 
 
@@ -536,3 +601,105 @@ def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes_between(
         spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
     )
+
+
+# --- data skipping: per-file stats pruning -----------------------------
+
+PRUNE_LO, PRUNE_HI = 20, 80
+
+
+def snapshot_pruned(
+    spark: SparkSession, table_dir: str, lo, hi
+) -> tuple[DataFrame | None, int, int]:
+    """Range read with file skipping: (filtered frame, files in the
+    snapshot, files actually read).
+
+    Files whose manifest [min, max] cannot intersect [lo, hi] are never
+    opened — the Delta/Iceberg data-skipping contract. Files without
+    recorded stats are read (correctness over optimism); the residual
+    filter still applies either way, so pruning is purely a scan
+    reduction. At 100 TB with range-clustered writes this is the
+    difference between touching every file and touching the few whose
+    key range overlaps the predicate."""
+    v = current_version(table_dir)
+    commit = _read_commit(table_dir, v)
+    files = commit["files"]
+    if not files:
+        return None, 0, 0
+    col = commit.get("stats_col")
+    stats = commit.get("stats", {})
+    if col is None:
+        chosen = files
+    else:
+        chosen = [
+            f
+            for f in files
+            if f not in stats
+            or (stats[f][0] <= hi and stats[f][1] >= lo)
+        ]
+    if not chosen:
+        # fully pruned: an EMPTY frame with the table schema, not None —
+        # callers compose .select()/.count() on the result either way
+        empty = spark.read.parquet(files[0]).where(F.lit(False))
+        return empty, len(files), 0
+    df = spark.read.parquet(*chosen).where(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(files), len(chosen)
+
+
+@register(
+    "merge_tx_pruned_read",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT c_custkey, cents AS acctbal_cents, merged
+        FROM v2
+        WHERE c_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+    doc="Data-skipping read over the MERGE table: the seed is written "
+    "range-clustered (repartitionByRange on the key) with per-file "
+    "[min, max] key stats in the manifest — the Delta/Iceberg file-"
+    "statistics convention — and a MERGE commit carries stats through "
+    "survivor rewrites; the range read then opens ONLY files whose "
+    "recorded range intersects the predicate "
+    "(tests assert files_read < files_total). Oracle = the recomputed "
+    "post-merge state filtered relationally, so the hash gate proves "
+    "skipping loses no rows.",
+    tags=("sink", "merge", "pruning", "scan"),
+)
+def merge_tx_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_merge_prune_{sf_tag}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+                "acctbal_cents"
+            ),
+            F.lit(False).alias("merged"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    _write_seed(spark, table_dir, base, stats_col="c_custkey")
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
+    df, _, _ = snapshot_pruned(spark, table_dir, PRUNE_LO, PRUNE_HI)
+    return df.select("c_custkey", "acctbal_cents", "merged")

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "stat_regression_exact",
     "events_ab_test",
     "basket_part_pairs",
+    "merge_tx_pruned_read",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

@@ -297,3 +297,27 @@ def test_changes_between_detects_all_change_types(spark, tmp_path):
         for r in mt.changes_between(spark, t, ["k"], 2, 1).collect()
     }
     assert rev[99] == "delete"
+
+
+def test_pruned_read_skips_files(spark, tmp_path):
+    t = str(tmp_path / "pr")
+    df = (
+        spark.range(1, 101)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(5, "k")
+    )
+    mt._write_seed(spark, t, df, stats_col="k")
+    out, n_total, n_read = mt.snapshot_pruned(spark, t, 11, 20)
+    assert n_total == 5 and 0 < n_read < n_total  # skipping really happened
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(11, 21))  # and lost nothing
+    # stats survive a MERGE: update one key, re-read the same range
+    mt.merge(
+        spark, t, _updates(spark, [(15, 999, 1)]), ["k"], "_ord"
+    )
+    out2, n_total2, n_read2 = mt.snapshot_pruned(spark, t, 11, 20)
+    assert {r.k: r.v for r in out2.collect()}[15] == 999
+    assert n_read2 < n_total2
+    # a range beyond every file reads nothing
+    none_df, nt, nr = mt.snapshot_pruned(spark, t, 10_000, 20_000)
+    assert nr == 0 and none_df.count() == 0
