@@ -703,3 +703,132 @@ def merge_tx_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
     df, _, _ = snapshot_pruned(spark, table_dir, PRUNE_LO, PRUNE_HI)
     return df.select("c_custkey", "acctbal_cents", "merged")
+
+
+# --- table maintenance: OPTIMIZE (compaction), VACUUM, Z-ORDER ---------
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    max_files: int = 1,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's data files into
+    ``max_files`` larger ones (optionally Z-order-clustered), commit as a
+    new version. Contents are bit-identical — only the file layout
+    changes — so time travel to pre-compaction versions still works and
+    readers never block (copy-on-write: the old files stay on disk until
+    ``vacuum``).
+
+    With ``zorder_cols`` the rewrite range-partitions on the interleaved
+    Z-value of the named (non-negative integer) columns, so per-file
+    [min, max] stats become selective on EVERY named column at once —
+    multi-dimensional data skipping, the Delta OPTIMIZE ZORDER BY
+    semantics."""
+    target, base_version = snapshot(spark, table_dir)
+    if target is None:
+        return base_version
+    base_commit = _read_commit(table_dir, base_version)
+    stats_col = base_commit.get("stats_col")
+    if zorder_cols:
+        df = target.repartitionByRange(
+            max_files, zorder_value(*zorder_cols)
+        )
+    elif stats_col is not None:
+        df = target.repartitionByRange(max_files, stats_col)
+    else:
+        df = target.coalesce(max_files)
+    for _ in range(10):
+        files, stats = _write_data_file(df, table_dir, stats_col)
+        try:
+            _try_commit(
+                table_dir,
+                base_version + 1,
+                files,
+                stats_col=stats_col,
+                stats=stats,
+            )
+            return base_version + 1
+        except VersionConflict:
+            import shutil
+
+            for d in {os.path.dirname(f) for f in files}:
+                shutil.rmtree(d, ignore_errors=True)
+            # someone committed meanwhile: recompact on top of the new tip
+            target, base_version = snapshot(spark, table_dir)
+            base_commit = _read_commit(table_dir, base_version)
+            stats_col = base_commit.get("stats_col")
+    raise VersionConflict("compaction gave up after 10 retries")
+
+
+def vacuum(table_dir: str, retain_versions: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the
+    newest ``retain_versions`` manifests; returns the deleted paths.
+    The lakehouse GC contract: time travel keeps working within the
+    retention window, disk stops growing without bound. Manifests are
+    kept (tiny, and they document history); only unreferenced DATA files
+    go."""
+    current = current_version(table_dir)
+    keep_from = max(1, current - retain_versions + 1)
+    live: set[str] = set()
+    for v in range(keep_from, current + 1):
+        live.update(_read_manifest(table_dir, v))
+    deleted = []
+    data_root = os.path.join(table_dir, _DATA)
+    if not os.path.isdir(data_root):
+        return deleted
+    for sub in os.listdir(data_root):
+        subdir = os.path.join(data_root, sub)
+        for name in os.listdir(subdir):
+            path = os.path.join(subdir, name)
+            if name.endswith(".parquet") and path not in live:
+                os.unlink(path)
+                deleted.append(path)
+        if not os.listdir(subdir):
+            os.rmdir(subdir)
+    return deleted
+
+
+ZORDER_BITS = 16
+
+
+def zorder_value(col_a: str, col_b: str):
+    """Interleaved-bit Z-value of two non-negative integer columns
+    (ZORDER_BITS low bits each → one BIGINT). Pure JVM bit arithmetic —
+    an unrolled shift/mask expression, no UDF — so Z-order clustering is
+    just repartitionByRange(z) and file stats stay selective on both
+    dimensions."""
+    a = F.col(col_a).cast("long")
+    b = F.col(col_b).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(
+            F.shiftleft(bit_a, 2 * i)
+        ).bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+    return z
+
+
+@register(
+    "merge_tx_compact_read",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT c_custkey, cents AS acctbal_cents, merged FROM v2
+    """,
+    doc="OPTIMIZE (compaction) over the MERGE table: seed + one MERGE "
+    "leave a fragmented file set (seed files, survivor rewrites, update "
+    "appends); compact() rewrites the snapshot into 2 range-clustered "
+    "files as a new commit and the read-back must be bit-identical to "
+    "the pre-compaction state — which the oracle hash proves, since it "
+    "recomputes the post-merge state relationally and never sees the "
+    "layout. Copy-on-write keeps pre-compaction versions time-"
+    "travelable until vacuum() reclaims them "
+    "(tests/test_merge_tx.py::test_compact_and_vacuum).",
+    tags=("sink", "merge", "compaction", "maintenance"),
+)
+def merge_tx_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table_dir = _seed_and_merges(spark, sf_dir, "merge_compact", mods=(7,))
+    compact(spark, table_dir, max_files=2)
+    snap, _ = snapshot(spark, table_dir)
+    return snap.select("c_custkey", "acctbal_cents", "merged")

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_ab_test",
     "basket_part_pairs",
     "merge_tx_pruned_read",
+    "merge_tx_compact_read",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

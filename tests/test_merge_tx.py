@@ -321,3 +321,54 @@ def test_pruned_read_skips_files(spark, tmp_path):
     # a range beyond every file reads nothing
     none_df, nt, nr = mt.snapshot_pruned(spark, t, 10_000, 20_000)
     assert nr == 0 and none_df.count() == 0
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "opt")
+    df = (
+        spark.range(1, 101)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(6, "k")
+    )
+    mt._write_seed(spark, t, df, stats_col="k")
+    mt.merge(spark, t, _updates(spark, [(5, 555, 1)]), ["k"], "_ord")
+    before, v_before = mt.snapshot(spark, t)
+    content_before = sorted(map(tuple, before.select("k", "v").collect()))
+    n_files_before = len(mt._read_manifest(t, v_before))
+    v_after = mt.compact(spark, t, max_files=2)
+    assert v_after == v_before + 1
+    after, _ = mt.snapshot(spark, t)
+    assert sorted(map(tuple, after.select("k", "v").collect())) == content_before
+    n_files_after = len(mt._read_manifest(t, v_after))
+    assert n_files_after < n_files_before
+    # compaction preserves per-file stats (pruning still works)
+    _, n_total, n_read = mt.snapshot_pruned(spark, t, 1, 10)
+    assert n_read < n_total
+    # old version stays time-travelable until vacuum
+    assert mt.snapshot_at(spark, t, v_before).count() == 100
+    deleted = mt.vacuum(t, retain_versions=1)
+    assert deleted  # pre-compaction files reclaimed
+    live, _ = mt.snapshot(spark, t)
+    assert sorted(map(tuple, live.select("k", "v").collect())) == content_before
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """After ZORDER BY (x, y), a 100×100 grid written as 16 files must
+    let a small x-range OR y-range predicate skip files — stats are on
+    the z-value's x column, so check via x; y selectivity shows in the
+    z-curve locality (files touched for a y-slice < all files when
+    reading manually)."""
+    rows = [(x, y, x * 1000 + y) for x in range(100) for y in range(100)]
+    df = spark.createDataFrame(rows, schema="x long, y long, payload long")
+    z = mt.zorder_value("x", "y")
+    clustered = df.repartitionByRange(16, z)
+    t = str(tmp_path / "zt")
+    mt._write_seed(spark, t, clustered, stats_col="x")
+    out, n_total, n_read = mt.snapshot_pruned(spark, t, 0, 5)
+    assert n_total == 16
+    assert n_read < n_total  # x-range skips files despite 2-D clustering
+    assert out.count() == 6 * 100
+    # z-interleave is the standard bit pattern
+    one = df.where((F.col("x") == 3) & (F.col("y") == 5)).select(z).collect()
+    # x=0b011 interleaved at even bits, y=0b101 at odd bits -> 0b100111 = 39
+    assert one[0][0] == 39
