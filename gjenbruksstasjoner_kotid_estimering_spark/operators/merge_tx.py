@@ -99,7 +99,10 @@ def snapshot(spark: SparkSession, table_dir: str) -> tuple[DataFrame | None, int
     files = _read_manifest(table_dir, v)
     if not files:
         return None, v
-    return spark.read.parquet(*files), v
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*files),
+        v,
+    )
 
 
 def _write_data_file(
@@ -177,6 +180,7 @@ def merge(
     key_cols: list[str],
     order_col: str | list[str],
     max_retries: int = 10,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO table_dir USING updates ON key_cols:
     matched → replace with the update row (last-write-wins within the
@@ -239,9 +243,22 @@ def merge(
                 fs, st = _write_data_file(survivors, table_dir, stats_col)
                 new_files += fs
                 new_stats.update(st)
-            fs, st = _write_data_file(
-                dedup.select(*(target.columns)), table_dir, stats_col
-            )
+            if evolve_schema:
+                # ADD-COLUMN evolution: new update columns become table
+                # columns; survivor files keep their narrower schema and
+                # read back with the new columns as NULL (snapshot reads
+                # with mergeSchema). Column order follows target ++ new.
+                new_cols = [
+                    c
+                    for c in dedup.columns
+                    if c not in target.columns and c not in order_cols
+                ]
+                projected = dedup.select(*target.columns, *new_cols)
+            else:
+                # fixed-schema contract: extra update columns (e.g.
+                # synthetic ordering helpers) are dropped
+                projected = dedup.select(*target.columns)
+            fs, st = _write_data_file(projected, table_dir, stats_col)
             new_files += fs
             new_stats.update(st)
         try:
@@ -401,7 +418,7 @@ def snapshot_at(
     files = _read_manifest(table_dir, version)
     if not files:
         return None
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -832,3 +849,73 @@ def merge_tx_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact(spark, table_dir, max_files=2)
     snap, _ = snapshot(spark, table_dir)
     return snap.select("c_custkey", "acctbal_cents", "merged")
+
+
+@register(
+    "merge_tx_schema_evolution",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS acctbal_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.acctbal_cents,
+                        CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS acctbal_cents,
+               (u.c_custkey IS NOT NULL) AS merged,
+               u.n_orders
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+    """,
+    doc="ADD-COLUMN schema evolution under MERGE: the update batch "
+    "carries a column the table never had (n_orders); with "
+    "evolve_schema=True it becomes a table column, survivor files keep "
+    "their narrower physical schema, and the snapshot read "
+    "(mergeSchema) returns NULL n_orders for never-merged rows — "
+    "exactly the LEFT-JOIN-shaped oracle. No rewrite of old files, no "
+    "table-wide migration: evolution costs one commit, the Delta/"
+    "Iceberg add-column contract.",
+    tags=("sink", "merge", "schema", "evolution"),
+)
+def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_merge_evo_{sf_tag}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn("merged", F.lit(True))
+    )
+    merge(
+        spark,
+        table_dir,
+        upd.withColumn("_ord", F.lit(1)),
+        key_cols=["c_custkey"],
+        order_col="_ord",
+        evolve_schema=True,
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return snap.select("c_custkey", "acctbal_cents", "merged", "n_orders")

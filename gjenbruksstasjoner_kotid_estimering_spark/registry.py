@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_part_pairs",
     "merge_tx_pruned_read",
     "merge_tx_compact_read",
+    "merge_tx_schema_evolution",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

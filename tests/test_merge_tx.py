@@ -372,3 +372,23 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     one = df.where((F.col("x") == 3) & (F.col("y") == 5)).select(z).collect()
     # x=0b011 interleaved at even bits, y=0b101 at odd bits -> 0b100111 = 39
     assert one[0][0] == 39
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = str(tmp_path / "evo")
+    _seed(spark, t, n=10)  # columns (k, v)
+    upd = spark.createDataFrame(
+        [(1, 111, 7, 1)], schema="k long, v long, extra long, _ord long"
+    )
+    # without the flag: extra is dropped (fixed-schema contract)
+    mt.merge(spark, t, upd, ["k"], "_ord")
+    snap, _ = mt.snapshot(spark, t)
+    assert "extra" not in snap.columns
+    # with the flag: extra becomes a table column, NULL on old rows,
+    # and the _ord helper still does NOT leak into the schema
+    mt.merge(spark, t, upd, ["k"], "_ord", evolve_schema=True)
+    snap, _ = mt.snapshot(spark, t)
+    assert "extra" in snap.columns and "_ord" not in snap.columns
+    rows = {r.k: r.extra for r in snap.collect()}
+    assert rows[1] == 7
+    assert all(v is None for k, v in rows.items() if k != 1)
