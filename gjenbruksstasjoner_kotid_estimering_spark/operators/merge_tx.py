@@ -919,3 +919,142 @@ def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap, _ = snapshot(spark, table_dir)
     return snap.select("c_custkey", "acctbal_cents", "merged", "n_orders")
+
+
+# --- row-level DELETE / UPDATE (copy-on-write) -------------------------
+
+def delete_where(spark: SparkSession, table_dir: str, predicate) -> int:
+    """DELETE FROM table WHERE predicate, copy-on-write: only files that
+    CONTAIN a matching row are rewritten (without those rows); untouched
+    files carry over by reference. Commits a new version; old versions
+    stay time-travelable. ``predicate`` is a pyspark Column."""
+    return _rewrite_where(spark, table_dir, predicate, set_exprs=None)
+
+
+def update_where(
+    spark: SparkSession, table_dir: str, predicate, set_exprs: dict
+) -> int:
+    """UPDATE table SET col=expr WHERE predicate, copy-on-write at file
+    granularity: affected files rewrite with the assignment applied to
+    matching rows (non-matching rows in the same file copy through
+    unchanged); untouched files carry over by reference."""
+    return _rewrite_where(spark, table_dir, predicate, set_exprs=set_exprs)
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    set_exprs: dict | None,
+    max_retries: int = 10,
+) -> int:
+    from urllib.parse import unquote, urlparse
+
+    for _ in range(max_retries):
+        target, base_version = snapshot(spark, table_dir)
+        if target is None:
+            return base_version
+        base_commit = _read_commit(table_dir, base_version)
+        stats_col = base_commit.get("stats_col")
+        tagged = target.withColumn("_file", F.input_file_name())
+        affected = {
+            unquote(urlparse(r["_file"]).path)
+            for r in tagged.where(predicate)
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+        base_files = _read_manifest(table_dir, base_version)
+        keep_files = [f for f in base_files if f not in affected]
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if affected:
+            rows = spark.read.parquet(*sorted(affected))
+            if set_exprs is None:
+                rewritten = rows.where(~predicate)
+            else:
+                rewritten = rows.withColumns(
+                    {
+                        c: F.when(predicate, e).otherwise(F.col(c))
+                        for c, e in set_exprs.items()
+                    }
+                )
+            fs, st = _write_data_file(rewritten, table_dir, stats_col)
+            new_files += fs
+            new_stats.update(st)
+        try:
+            keep_stats = {
+                f: base_commit.get("stats", {})[f]
+                for f in keep_files
+                if f in base_commit.get("stats", {})
+            }
+            _try_commit(
+                table_dir,
+                base_version + 1,
+                keep_files + new_files,
+                stats_col=stats_col,
+                stats={**keep_stats, **new_stats},
+            )
+            return base_version + 1
+        except VersionConflict:
+            import shutil
+
+            for d in {os.path.dirname(f) for f in new_files}:
+                shutil.rmtree(d, ignore_errors=True)
+            continue
+    raise VersionConflict("gave up after retries")
+
+
+@register(
+    "merge_tx_delete_update",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN CAST(round(c_acctbal * 100) AS BIGINT) + 500
+                    ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+               END AS acctbal_cents,
+               FALSE AS merged
+        FROM customer
+        WHERE c_custkey % 13 != 0
+    """,
+    doc="Row-level DELETE + UPDATE on the copy-on-write table: DELETE "
+    "WHERE custkey%13=0 (affected files rewritten without matching "
+    "rows), then UPDATE SET cents=cents+500 WHERE custkey%11=0 "
+    "(assignment applied via when(pred) inside rewritten files, "
+    "non-matching rows copy through). Both are file-granular — "
+    "untouched files carry into the new manifest by reference, stats "
+    "preserved, versions travelable. Oracle recomputes the final state "
+    "relationally (anti-filter + CASE), so the hash proves both row "
+    "operations hit exactly the predicated rows.",
+    tags=("sink", "merge", "delete", "update"),
+)
+def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_merge_dml_{sf_tag}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+                "acctbal_cents"
+            ),
+            F.lit(False).alias("merged"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    _write_seed(spark, table_dir, base, stats_col="c_custkey")
+    delete_where(spark, table_dir, F.col("c_custkey") % 13 == 0)
+    update_where(
+        spark,
+        table_dir,
+        F.col("c_custkey") % 11 == 0,
+        {"acctbal_cents": F.col("acctbal_cents") + F.lit(500)},
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return snap.select("c_custkey", "acctbal_cents", "merged")

@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_pruned_read",
     "merge_tx_compact_read",
     "merge_tx_schema_evolution",
+    "merge_tx_delete_update",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",
