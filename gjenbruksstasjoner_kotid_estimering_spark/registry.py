@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_compact_read",
     "merge_tx_schema_evolution",
     "merge_tx_delete_update",
+    "scan_python_datasource",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",
@@ -183,6 +184,7 @@ def _load_all() -> None:
     from .operators import traindata4  # noqa: F401  # round-4 additions
     from .plans import analytics  # noqa: F401  # round-4 additions
     from .plans import stats  # noqa: F401  # round-4 additions
+    from .sources import pyds  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
