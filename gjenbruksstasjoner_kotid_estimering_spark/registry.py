@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_schema_evolution",
     "merge_tx_delete_update",
     "scan_python_datasource",
+    "sink_python_datasource",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

@@ -31,12 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..registry import register
@@ -125,6 +128,9 @@ class GraftSeriesDataSource(DataSource):
     def reader(self, schema) -> GraftSeriesReader:
         return GraftSeriesReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return GraftSeriesStreamReader(self.options)
+
 
 def register_graft_series(spark: SparkSession) -> None:
     """Idempotently register the source with the session."""
@@ -186,4 +192,146 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").alias("sum_cents"),
             F.min("id").alias("first_id"),
         )
+    )
+
+
+# --- streaming reader + custom writer (the other two API contracts) ----
+
+STREAM_BATCH = 400
+
+
+class GraftSeriesStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the same deterministic
+    series: each poll emits the next ≤STREAM_BATCH ids and advances the
+    offset; past ``rows`` it reports no new data. Offsets are plain
+    dicts — Spark checkpoints them, so restart-resume comes for free
+    (the contract a Kafka-like source implements)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("rows", SERIES_ROWS))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + STREAM_BATCH, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["i"], end["i"])])
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class GraftJsonlWriter(DataSourceWriter):
+    """Per-task JSONL part files + driver-side atomic commit: tasks
+    write under a temp name and return commit messages; ``commit``
+    renames all parts into place and writes a _SUCCESS marker, so a
+    failed job leaves no visible partial output (the exactly-once
+    file-sink contract in miniature)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(
+            self.path, f".part-{tid:05d}-{_uuid.uuid4().hex}.jsonl.tmp"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import os as _os
+
+        for m in messages:
+            # .part-XXX.jsonl.tmp -> part-XXX.jsonl (visible name)
+            final = _os.path.join(
+                _os.path.dirname(m.path),
+                _os.path.basename(m.path)[1:].removesuffix(".tmp"),
+            )
+            _os.rename(m.path, final)
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(sum(m.n for m in messages)))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.unlink(m.path)
+
+
+class GraftJsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graft_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> GraftJsonlWriter:
+        return GraftJsonlWriter(self.options)
+
+
+def register_graft_jsonl(spark: SparkSession) -> None:
+    spark.dataSource.register(GraftJsonlSinkDataSource)
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="Custom SINK on the Python Data Source API round-tripped: "
+    "customer rows write through a user-defined JSONL writer (per-task "
+    "temp part files → commit messages → driver-side atomic rename + "
+    "_SUCCESS, abort cleans temps — the exactly-once file-sink "
+    "protocol in miniature), are read back with Spark's JSON reader, "
+    "and aggregate to the oracle's answer — proving the sink lost and "
+    "duplicated nothing. Streaming twin: GraftSeriesStreamReader "
+    "(offset-checkpointed micro-batches, tests/test_pyds.py).",
+    tags=("sink", "datasource", "python"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    register_graft_jsonl(spark)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{sf_tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias("cents"),
+    )
+    cust.write.format("graft_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("acctbal_cents"),
     )

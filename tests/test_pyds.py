@@ -77,3 +77,60 @@ def test_source_reads_in_spark(spark):
         i for i, (b, _) in got.items() if b == 3
     }
     assert all(0 <= b < BUCKET_MOD for b, _ in got.values())
+
+
+def test_stream_reader_drains_deterministically(spark, tmp_path):
+    """The streaming source emits the full series across micro-batches
+    with checkpointed offsets; a processing-time drain into a memory
+    sink reproduces the batch relation exactly."""
+    import time
+
+    register_graft_series(spark)
+    n = 1000
+    q = (
+        spark.readStream.format("graft_series")
+        .option("rows", n)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("pyds_stream").count() >= n:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {r.id: (r.bucket, r.value_cents) for r in spark.table("pyds_stream").collect()}
+    assert len(got) == n  # no duplicates, no losses across batches
+    for i in (0, 399, 400, 999):  # batch-boundary ids included once
+        assert got[i] == _row(i)[1:]
+
+
+def test_jsonl_sink_roundtrip_and_atomicity(spark, tmp_path):
+    import os
+
+    from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
+        register_graft_jsonl,
+    )
+
+    register_graft_jsonl(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    df.write.format("graft_jsonl").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")]  # commit renamed all
+    assert len([n for n in names if n.endswith(".jsonl")]) == 4
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert sorted(map(tuple, back.select("k", "v").collect())) == [
+        (i, i * 3) for i in range(100)
+    ]
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "100"
