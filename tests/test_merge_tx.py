@@ -422,3 +422,63 @@ def test_delete_and_update_where(spark, tmp_path):
     snap3, _ = mt.snapshot(spark, t)
     after = sorted((r.k, r.v) for r in snap3.select("k", "v").collect())
     assert after == before
+
+
+def test_model_based_random_dml_sequence(spark, tmp_path):
+    """Model-based check of the lakehouse core: a deterministic random
+    sequence of MERGE / DELETE / UPDATE / compact operations applied to
+    the table AND to a plain dict model must agree at every version,
+    and time travel must reproduce every intermediate model state."""
+    import random
+
+    rng = random.Random(1729)
+    t = str(tmp_path / "model")
+    keys = list(range(20))
+    model: dict = {k: k * 10 for k in keys}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], schema="k long, v long"
+    ).repartitionByRange(3, "k")
+    mt._write_seed(spark, t, df, stats_col="k")
+    history = [dict(model)]  # model state per committed version
+
+    for _step in range(10):
+        op = rng.choice(["merge", "delete", "update", "compact"])
+        if op == "merge":
+            batch = [
+                (rng.randrange(25), rng.randrange(1000), i)
+                for i in range(rng.randint(1, 5))
+            ]
+            # model: LWW by _ord DESC -> highest i wins per key
+            lww: dict = {}
+            for k, v, o in batch:
+                if k not in lww or o > lww[k][1]:
+                    lww[k] = (v, o)
+            for k, (v, _) in lww.items():
+                model[k] = v
+            mt.merge(spark, t, _updates(spark, batch), ["k"], "_ord")
+        elif op == "delete":
+            cut = rng.randrange(25)
+            model = {k: v for k, v in model.items() if k % 7 != cut % 7}
+            mt.delete_where(spark, t, F.col("k") % 7 == cut % 7)
+        elif op == "update":
+            cut = rng.randrange(5)
+            model = {
+                k: (v + 1 if k % 5 == cut else v) for k, v in model.items()
+            }
+            mt.update_where(
+                spark, t, F.col("k") % 5 == cut, {"v": F.col("v") + 1}
+            )
+        else:
+            mt.compact(spark, t, max_files=2)
+            # layout-only: model unchanged
+        history.append(dict(model))
+        snap, v = mt.snapshot(spark, t)
+        got = {r.k: r.v for r in snap.select("k", "v").collect()}
+        assert got == model, f"divergence after step {_step} ({op})"
+        assert v == len(history) - 1 + 1  # seed is version 1
+
+    # time travel reproduces every intermediate state
+    for i, state in enumerate(history):
+        tv = mt.snapshot_at(spark, t, i + 1)
+        got = {r.k: r.v for r in tv.select("k", "v").collect()}
+        assert got == state, f"time travel to v{i + 1} diverged"
