@@ -173,6 +173,28 @@ def _try_commit(
         os.unlink(tmp)
 
 
+def _plain_path(uri: str) -> str:
+    """input_file_name() returns URIs (file:///...); manifests hold plain
+    paths — the one normalization every writer shares."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path)
+
+
+def _keep_stats(base_commit: dict, keep_files: list[str]) -> dict:
+    """Stats entries carried over for files kept by reference."""
+    stats = base_commit.get("stats", {})
+    return {f: stats[f] for f in keep_files if f in stats}
+
+
+def _discard_files(files: list[str]) -> None:
+    """Remove a failed attempt's data-file dirs (no vacuum debt)."""
+    import shutil
+
+    for d in {os.path.dirname(f) for f in files}:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def merge(
     spark: SparkSession,
     table_dir: str,
@@ -221,18 +243,13 @@ def merge(
         else:
             keys = dedup.select(*key_cols)
             tagged = target.withColumn("_file", F.input_file_name())
-            affected = [
-                r["_file"]
+            affected = {
+                _plain_path(r["_file"])
                 for r in tagged.join(F.broadcast(keys), key_cols, "left_semi")
                 .select("_file")
                 .distinct()
                 .collect()
-            ]
-            # input_file_name() returns URIs (file:///...); manifests hold
-            # plain paths — normalize before set logic
-            from urllib.parse import unquote, urlparse
-
-            affected = {unquote(urlparse(f).path) for f in affected}
+            }
             base_files = _read_manifest(table_dir, base_version)
             keep_files = [f for f in base_files if f not in affected]
             new_files = []
@@ -262,26 +279,16 @@ def merge(
             new_files += fs
             new_stats.update(st)
         try:
-            keep_stats = {
-                f: base_commit.get("stats", {})[f]
-                for f in keep_files
-                if f in base_commit.get("stats", {})
-            }
             _try_commit(
                 table_dir,
                 base_version + 1,
                 keep_files + new_files,
                 stats_col=stats_col,
-                stats={**keep_stats, **new_stats},
+                stats={**_keep_stats(base_commit, keep_files), **new_stats},
             )
             return base_version + 1
         except VersionConflict:
-            # this attempt's data files are unreferenced by any manifest —
-            # remove them now instead of leaving vacuum debt
-            import shutil
-
-            for d in {os.path.dirname(f) for f in new_files}:
-                shutil.rmtree(d, ignore_errors=True)
+            _discard_files(new_files)
             continue  # re-read the newer snapshot and re-merge on top
     raise VersionConflict(f"gave up after {max_retries} retries")
 
@@ -644,22 +651,27 @@ def snapshot_pruned(
     if not files:
         return None, 0, 0
     col = commit.get("stats_col")
-    stats = commit.get("stats", {})
     if col is None:
-        chosen = files
-    else:
-        chosen = [
-            f
-            for f in files
-            if f not in stats
-            or (stats[f][0] <= hi and stats[f][1] >= lo)
-        ]
+        raise ValueError(
+            "table has no recorded stats_col — seed it with "
+            "_write_seed(..., stats_col=...) or read via snapshot()"
+        )
+    stats = commit.get("stats", {})
+
+    def may_match(f: str) -> bool:
+        st = stats.get(f)
+        if st is None or st[0] is None or st[1] is None:
+            return True  # no/NULL stats → conservatively read the file
+        return st[0] <= hi and st[1] >= lo
+
+    chosen = [f for f in files if may_match(f)]
+    reader = spark.read.option("mergeSchema", "true")  # evolved tables
     if not chosen:
         # fully pruned: an EMPTY frame with the table schema, not None —
         # callers compose .select()/.count() on the result either way
-        empty = spark.read.parquet(files[0]).where(F.lit(False))
+        empty = reader.parquet(*files).where(F.lit(False))
         return empty, len(files), 0
-    df = spark.read.parquet(*chosen).where(
+    df = reader.parquet(*chosen).where(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
     return df, len(files), len(chosen)
@@ -742,20 +754,24 @@ def compact(
     [min, max] stats become selective on EVERY named column at once —
     multi-dimensional data skipping, the Delta OPTIMIZE ZORDER BY
     semantics."""
-    target, base_version = snapshot(spark, table_dir)
-    if target is None:
-        return base_version
-    base_commit = _read_commit(table_dir, base_version)
-    stats_col = base_commit.get("stats_col")
-    if zorder_cols:
-        df = target.repartitionByRange(
-            max_files, zorder_value(*zorder_cols)
-        )
-    elif stats_col is not None:
-        df = target.repartitionByRange(max_files, stats_col)
-    else:
-        df = target.coalesce(max_files)
     for _ in range(10):
+        # (re)build the rewrite plan INSIDE the loop: after a conflict the
+        # clustered frame must derive from the NEW tip, or the retry would
+        # commit the stale pre-conflict snapshot and silently drop the
+        # concurrent writer's rows (a lost update)
+        target, base_version = snapshot(spark, table_dir)
+        if target is None:
+            return base_version
+        base_commit = _read_commit(table_dir, base_version)
+        stats_col = base_commit.get("stats_col")
+        if zorder_cols:
+            df = target.repartitionByRange(
+                max_files, zorder_value(*zorder_cols)
+            )
+        elif stats_col is not None:
+            df = target.repartitionByRange(max_files, stats_col)
+        else:
+            df = target.coalesce(max_files)
         files, stats = _write_data_file(df, table_dir, stats_col)
         try:
             _try_commit(
@@ -767,24 +783,32 @@ def compact(
             )
             return base_version + 1
         except VersionConflict:
-            import shutil
-
-            for d in {os.path.dirname(f) for f in files}:
-                shutil.rmtree(d, ignore_errors=True)
-            # someone committed meanwhile: recompact on top of the new tip
-            target, base_version = snapshot(spark, table_dir)
-            base_commit = _read_commit(table_dir, base_version)
-            stats_col = base_commit.get("stats_col")
+            _discard_files(files)
+            continue  # recompact on top of the new tip
     raise VersionConflict("compaction gave up after 10 retries")
 
 
-def vacuum(table_dir: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str,
+    retain_versions: int = 1,
+    min_age_seconds: float = 600.0,
+) -> list[str]:
     """Delete data files referenced ONLY by versions older than the
     newest ``retain_versions`` manifests; returns the deleted paths.
     The lakehouse GC contract: time travel keeps working within the
     retention window, disk stops growing without bound. Manifests are
     kept (tiny, and they document history); only unreferenced DATA files
-    go."""
+    go.
+
+    ``min_age_seconds`` guards the in-flight-writer race: a concurrent
+    merge/compact writes its data files BEFORE committing its manifest,
+    and those files are in no live manifest yet — unconditionally
+    deleting unreferenced files would corrupt the writer's imminent
+    commit. Age-gating on modification time is how production lakehouses
+    (Delta's deletedFileRetentionDuration) close this window; pass 0
+    only when no writer can be active."""
+    import time
+
     current = current_version(table_dir)
     keep_from = max(1, current - retain_versions + 1)
     live: set[str] = set()
@@ -794,11 +818,16 @@ def vacuum(table_dir: str, retain_versions: int = 1) -> list[str]:
     data_root = os.path.join(table_dir, _DATA)
     if not os.path.isdir(data_root):
         return deleted
+    cutoff = time.time() - min_age_seconds
     for sub in os.listdir(data_root):
         subdir = os.path.join(data_root, sub)
         for name in os.listdir(subdir):
             path = os.path.join(subdir, name)
-            if name.endswith(".parquet") and path not in live:
+            if (
+                name.endswith(".parquet")
+                and path not in live
+                and os.path.getmtime(path) <= cutoff
+            ):
                 os.unlink(path)
                 deleted.append(path)
         if not os.listdir(subdir):
@@ -948,8 +977,6 @@ def _rewrite_where(
     set_exprs: dict | None,
     max_retries: int = 10,
 ) -> int:
-    from urllib.parse import unquote, urlparse
-
     for _ in range(max_retries):
         target, base_version = snapshot(spark, table_dir)
         if target is None:
@@ -958,7 +985,7 @@ def _rewrite_where(
         stats_col = base_commit.get("stats_col")
         tagged = target.withColumn("_file", F.input_file_name())
         affected = {
-            unquote(urlparse(r["_file"]).path)
+            _plain_path(r["_file"])
             for r in tagged.where(predicate)
             .select("_file")
             .distinct()
@@ -969,9 +996,18 @@ def _rewrite_where(
         new_files: list[str] = []
         new_stats: dict = {}
         if affected:
-            rows = spark.read.parquet(*sorted(affected))
+            rows = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(affected)
+            )
             if set_exprs is None:
-                rewritten = rows.where(~predicate)
+                # SQL DELETE semantics: remove rows where the predicate
+                # IS TRUE; rows where it evaluates NULL must survive
+                # (where(~pred) would drop them — NULL is not true, and
+                # unaffected files keep their NULL rows, so the outcome
+                # would depend on file co-location)
+                rewritten = rows.where(
+                    ~F.coalesce(predicate, F.lit(False))
+                )
             else:
                 rewritten = rows.withColumns(
                     {
@@ -983,24 +1019,16 @@ def _rewrite_where(
             new_files += fs
             new_stats.update(st)
         try:
-            keep_stats = {
-                f: base_commit.get("stats", {})[f]
-                for f in keep_files
-                if f in base_commit.get("stats", {})
-            }
             _try_commit(
                 table_dir,
                 base_version + 1,
                 keep_files + new_files,
                 stats_col=stats_col,
-                stats={**keep_stats, **new_stats},
+                stats={**_keep_stats(base_commit, keep_files), **new_stats},
             )
             return base_version + 1
         except VersionConflict:
-            import shutil
-
-            for d in {os.path.dirname(f) for f in new_files}:
-                shutil.rmtree(d, ignore_errors=True)
+            _discard_files(new_files)
             continue
     raise VersionConflict("gave up after retries")
 

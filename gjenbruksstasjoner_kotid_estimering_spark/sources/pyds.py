@@ -99,6 +99,8 @@ class GraftSeriesReader(DataSourceReader):
             yield f  # unsupported → Spark evaluates post-scan
 
     def partitions(self):
+        if self.n <= 0:
+            return [_RangePart(0, 0)]  # planner requires ≥1 partition
         step = -(-self.n // self.n_parts)
         return [
             _RangePart(s, min(s + step, self.n))
@@ -233,10 +235,13 @@ class GraftJsonlWriter(DataSourceWriter):
     write under a temp name and return commit messages; ``commit``
     renames all parts into place and writes a _SUCCESS marker, so a
     failed job leaves no visible partial output (the exactly-once
-    file-sink contract in miniature)."""
+    file-sink contract in miniature). mode('overwrite') stages the
+    delete at COMMIT time (old parts removed just before the new ones
+    become visible) — an aborted overwrite leaves the old data intact."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, rows):
         import json as _json
@@ -260,6 +265,10 @@ class GraftJsonlWriter(DataSourceWriter):
     def commit(self, messages):
         import os as _os
 
+        if self.overwrite:
+            for name in _os.listdir(self.path):
+                if name.endswith(".jsonl") or name == "_SUCCESS":
+                    _os.unlink(_os.path.join(self.path, name))
         for m in messages:
             # .part-XXX.jsonl.tmp -> part-XXX.jsonl (visible name)
             final = _os.path.join(
@@ -284,7 +293,7 @@ class GraftJsonlSinkDataSource(DataSource):
         return "graft_jsonl"
 
     def writer(self, schema, overwrite: bool) -> GraftJsonlWriter:
-        return GraftJsonlWriter(self.options)
+        return GraftJsonlWriter(self.options, overwrite)
 
 
 def register_graft_jsonl(spark: SparkSession) -> None:
@@ -330,7 +339,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust.write.format("graft_jsonl").option("path", out).mode(
         "append"
     ).save()
-    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    # directory + pathGlobFilter, not a glob path: Spark stats a glob
+    # literally during FileStreamSink.hasMetadata and logs a harmless
+    # but alarming FileNotFoundException trace
+    back = spark.read.option("pathGlobFilter", "*.jsonl").json(out)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("acctbal_cents"),

@@ -346,7 +346,8 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert n_read < n_total
     # old version stays time-travelable until vacuum
     assert mt.snapshot_at(spark, t, v_before).count() == 100
-    deleted = mt.vacuum(t, retain_versions=1)
+    # age gate guards live writers; none here, so disable it
+    deleted = mt.vacuum(t, retain_versions=1, min_age_seconds=0)
     assert deleted  # pre-compaction files reclaimed
     live, _ = mt.snapshot(spark, t)
     assert sorted(map(tuple, live.select("k", "v").collect())) == content_before
@@ -482,3 +483,51 @@ def test_model_based_random_dml_sequence(spark, tmp_path):
         tv = mt.snapshot_at(spark, t, i + 1)
         got = {r.k: r.v for r in tv.select("k", "v").collect()}
         assert got == state, f"time travel to v{i + 1} diverged"
+
+
+def test_vacuum_age_gate_spares_fresh_files(spark, tmp_path):
+    """Freshly written unreferenced files (an in-flight writer's data)
+    survive vacuum under the default age gate."""
+    t = str(tmp_path / "vgate")
+    _seed(spark, t, n=10)
+    mt.compact(spark, t, max_files=1)  # v1 files now unreferenced by tip
+    assert mt.vacuum(t, retain_versions=1) == []  # too fresh to delete
+    assert mt.snapshot_at(spark, t, 1).count() == 10  # still readable
+    assert mt.vacuum(t, retain_versions=1, min_age_seconds=0) != []
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    survive, even when they share a file with a true match."""
+    t = str(tmp_path / "nulldel")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], schema="k long, v long"
+    ).coalesce(1)  # one file: NULL row co-located with the true match
+    mt._write_seed(spark, t, df)
+    mt.delete_where(spark, t, F.col("v") > 5)  # true only for k=1
+    snap, _ = mt.snapshot(spark, t)
+    assert sorted(r.k for r in snap.collect()) == [2, 3]
+
+
+def test_compact_retry_preserves_concurrent_merge(spark, tmp_path, monkeypatch):
+    """A MERGE that commits between compact()'s snapshot and its commit
+    must survive the compaction retry (the lost-update scenario)."""
+    t = str(tmp_path / "race")
+    _seed(spark, t, n=10)
+    real_try_commit = mt._try_commit
+    fired = {"done": False}
+
+    def racing_commit(table_dir, version, files, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # a competing writer lands first, at the version compact wants
+            mt.merge(
+                spark, t, _updates(spark, [(1, 777, 1)]), ["k"], "_ord"
+            )
+        return real_try_commit(table_dir, version, files, **kw)
+
+    monkeypatch.setattr(mt, "_try_commit", racing_commit)
+    mt.compact(spark, t, max_files=1)
+    snap, _ = mt.snapshot(spark, t)
+    got = {r.k: r.v for r in snap.collect()}
+    assert got[1] == 777  # the concurrent merge's row survived compaction

@@ -128,7 +128,7 @@ def test_jsonl_sink_roundtrip_and_atomicity(spark, tmp_path):
     assert "_SUCCESS" in names
     assert not [n for n in names if n.endswith(".tmp")]  # commit renamed all
     assert len([n for n in names if n.endswith(".jsonl")]) == 4
-    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    back = spark.read.option("pathGlobFilter", "*.jsonl").json(out)
     assert sorted(map(tuple, back.select("k", "v").collect())) == [
         (i, i * 3) for i in range(100)
     ]
