@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_delete_update",
     "scan_python_datasource",
     "sink_python_datasource",
+    "udtf_polymorphic_split",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",
