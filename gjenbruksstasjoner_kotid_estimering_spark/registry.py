@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_python_datasource",
     "sink_python_datasource",
     "udtf_polymorphic_split",
+    "stream_stateful_tracker",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

@@ -176,3 +176,63 @@ def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_tracker",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(value) AS max_value,
+               CAST(coalesce(max(CASE WHEN event_type = 'error'
+                                      THEN epoch_us(ts) END), 0)
+                    AS BIGINT) AS last_error_epoch_us
+        FROM events GROUP BY user_id
+    """,
+    doc="TRUE custom stateful streaming, oracle-checked: the "
+    "applyInPandasWithState per-user tracker (running count, running "
+    "max, last-error timestamp — three scalars of state per key, "
+    "bounded at any cardinality) drains via AvailableNow in update "
+    "mode; the LATEST emission per user (n_events is monotone, so "
+    "row_number by n_events DESC picks it) must equal the batch "
+    "aggregate — which is exactly the oracle. Count/max/selected-"
+    "timestamp are all exact, so the arbitrary-state escape hatch gets "
+    "the same hash gate as the declarative operators.",
+    tags=("streaming", "stateful", "state"),
+)
+def stream_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .file_stream import read_events_stream
+    from .stateful import stateful_station_tracker
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"stream_tracker_{sf_tag}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ckpt_tracker_{sf_tag}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(name)
+    stream = stateful_station_tracker(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
