@@ -382,3 +382,53 @@ def events_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_len").cast("long").alias("max_inc_run"),
         )
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+        WITH RECURSIVE users AS (
+          SELECT DISTINCT user_id FROM events
+        ),
+        tree(user_id, depth, root_id, path) AS (
+          SELECT user_id, 0, user_id, CAST(user_id AS VARCHAR)
+          FROM users WHERE user_id < 2
+          UNION ALL
+          SELECT u.user_id, t.depth + 1, t.root_id,
+                 t.path || '/' || CAST(u.user_id AS VARCHAR)
+          FROM users u JOIN tree t ON u.user_id // 2 = t.user_id
+          WHERE u.user_id >= 2
+        )
+        SELECT user_id, CAST(depth AS BIGINT) AS depth,
+               root_id, path
+        FROM tree
+    """,
+    doc="NATIVE recursive CTE (Spark 4 WITH RECURSIVE): the user base "
+    "forms an implicit binary referral tree (parent = user_id div 2); "
+    "the recursion walks root→leaves accumulating depth, root id, and "
+    "the materialized '/'-joined path — the org-chart / "
+    "bill-of-materials traversal shape, expressed in ANSI recursion on "
+    "BOTH engines rather than a hand-rolled iterative loop "
+    "(dedup_clusters keeps the loop form for comparison; this is the "
+    "declarative twin). Terminates structurally (child > parent); each "
+    "recursive step is one join against the frontier, exactly how "
+    "Spark executes it — frontier-sized state, not path-enumeration "
+    "blowup.",
+    tags=("recursive", "cte", "hierarchy", "sql"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    users.createOrReplaceTempView("_rec_users")
+    return spark.sql("""
+        WITH RECURSIVE tree(user_id, depth, root_id, path) AS (
+          SELECT user_id, 0, user_id, CAST(user_id AS STRING)
+          FROM _rec_users WHERE user_id < 2
+          UNION ALL
+          SELECT u.user_id, t.depth + 1, t.root_id,
+                 CONCAT(t.path, '/', CAST(u.user_id AS STRING))
+          FROM _rec_users u JOIN tree t ON u.user_id div 2 = t.user_id
+          WHERE u.user_id >= 2
+        )
+        SELECT user_id, CAST(depth AS BIGINT) AS depth, root_id, path
+        FROM tree
+    """)

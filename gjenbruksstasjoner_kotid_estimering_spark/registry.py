@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_python_datasource",
     "udtf_polymorphic_split",
     "stream_stateful_tracker",
+    "recursive_cte_hierarchy",
     "events_pattern_peaks",
     "events_funnel",
     "events_retention_cohorts",

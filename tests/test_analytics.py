@@ -262,3 +262,23 @@ def test_basket_pairs_counts(spark, tmp_path):
     assert abs(r.support - 3 / 4) < 1e-15
     assert abs(r.confidence_a_b - 1.0) < 1e-15
     assert abs(r.lift - (3 * 4) / (3 * 3)) < 1e-15
+
+
+def test_recursive_hierarchy_structure(spark):
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.analytics import (
+        recursive_cte_hierarchy,
+    )
+
+    rows = {r.user_id: r for r in recursive_cte_hierarchy(spark, SF).collect()}
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users  # every user reached exactly once
+    for uid, r in rows.items():
+        if uid < 2:
+            assert r.depth == 0 and r.root_id == uid and r.path == str(uid)
+        else:
+            parent = rows[uid // 2]
+            assert r.depth == parent.depth + 1
+            assert r.root_id == parent.root_id
+            assert r.path == f"{parent.path}/{uid}"
