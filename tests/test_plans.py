@@ -205,3 +205,53 @@ def test_stratified_sample_pushes_nothing_wide(spark):
     plan = _plan(spark, "sample_stratified_exact")
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read  # 3-column projection must prune the payload
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    plan = _plan(spark, "text_gopher_quality_flags")
+    assert "Exchange" not in plan  # pure per-row columnar gate
+
+
+def test_bm25_single_row_stats_broadcast(spark):
+    plan = _plan(spark, "text_bm25_rank")
+    # the one-row corpus-stats side joins via broadcast, result via TakeOrdered
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_joins_share_user_partitioning(spark):
+    plan = _plan(spark, "events_funnel")
+    # step frames are user-keyed aggregates; no sort-merge cascades
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_rollup_cascade_single_fact_scan(spark):
+    plan = _plan(spark, "timeseries_rollup_cascade")
+    # hour/day/month all derive from ONE events scan (checkpointed hourly
+    # partials) — the naive 3-scan form would show 3 parquet reads
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_regression_moments_partial_aggregate(spark):
+    plan = _plan(spark, "stat_regression_exact")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_basket_min_support_prunes_before_dim_joins(spark):
+    plan = _plan(spark, "basket_part_pairs")
+    # item-count and order-count sides broadcast; pair agg is the only
+    # fact-sized exchange chain
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_dedup_single_value_shuffle(spark):
+    plan = _plan(spark, "text_segment_dedup")
+    # groups by segment value once + doc re-assembly; no cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_joins_are_hash_joins(spark):
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
