@@ -417,16 +417,30 @@ def events_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("recursive", "cte", "hierarchy", "sql"),
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    users.createOrReplaceTempView("_rec_users")
-    return spark.sql("""
+    import os
+
+    # localCheckpoint: the recursive step re-executes its plan every
+    # UnionLoop iteration, so an uncached distinct would re-scan and
+    # re-aggregate the fact table once per tree level. View name is
+    # sf-tagged (the streaming-drain convention) so interleaved builds
+    # at different scales cannot bind each other's user sets.
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    view = f"_rec_users_{sf_tag}"
+    users.createOrReplaceTempView(view)
+    return spark.sql(f"""
         WITH RECURSIVE tree(user_id, depth, root_id, path) AS (
           SELECT user_id, 0, user_id, CAST(user_id AS STRING)
-          FROM _rec_users WHERE user_id < 2
+          FROM {view} WHERE user_id < 2
           UNION ALL
           SELECT u.user_id, t.depth + 1, t.root_id,
                  CONCAT(t.path, '/', CAST(u.user_id AS STRING))
-          FROM _rec_users u JOIN tree t ON u.user_id div 2 = t.user_id
+          FROM {view} u JOIN tree t ON u.user_id div 2 = t.user_id
           WHERE u.user_id >= 2
         )
         SELECT user_id, CAST(depth AS BIGINT) AS depth, root_id, path

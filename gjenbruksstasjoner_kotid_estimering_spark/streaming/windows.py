@@ -120,6 +120,37 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_to_memory(
+    stream, tag: str, sf_dir: str, output_mode: str
+):
+    """Shared one-shot drain harness for TRUE-streaming registry queries:
+    deterministic per-(tag, scale) checkpoint dir wiped on entry, stable
+    memory-sink table name, AvailableNow drain. Returns (spark, table
+    name). One definition so checkpoint hygiene can't drift per query."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = stream.sparkSession
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"stream_{tag}_{sf_tag}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ckpt_{tag}_{sf_tag}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark, name
+
+
 @register(
     "stream_error_followup_join",
     oracle="""
@@ -148,33 +179,10 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "join", "interval"),
 )
 def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from .file_stream import error_followup_join, read_events_stream
 
-    # Deterministic per-scale scratch, wiped on entry (the merge_tx
-    # pattern): repeated bench/correctness sweeps reuse ONE checkpoint
-    # dir and ONE memory-sink table instead of leaking a fresh mkdtemp +
-    # uuid-named in-memory table (pinned in driver heap) per invocation.
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"stream_err_join_{sf_tag}"
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ckpt_err_join_{sf_tag}"
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    spark.catalog.dropTempView(name)
     joined = error_followup_join(read_events_stream(spark, sf_dir))
-    q = (
-        joined.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    spark, name = _drain_to_memory(joined, "err_join", sf_dir, "append")
     return spark.table(name)
 
 
@@ -201,32 +209,13 @@ def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful", "state"),
 )
 def stream_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window
 
     from .file_stream import read_events_stream
     from .stateful import stateful_station_tracker
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"stream_tracker_{sf_tag}"
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ckpt_tracker_{sf_tag}"
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    spark.catalog.dropTempView(name)
     stream = stateful_station_tracker(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    spark, name = _drain_to_memory(stream, "tracker", sf_dir, "update")
     rn = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     )

@@ -234,7 +234,9 @@ def test_rollup_cascade_single_fact_scan(spark):
 
 def test_regression_moments_partial_aggregate(spark):
     plan = _plan(spark, "stat_regression_exact")
-    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # two-phase aggregation: map-side partial sums must be present
+    # (a bare HashAggregate check would pass for ANY aggregate plan)
+    assert "partial_sum" in plan
 
 
 def test_basket_min_support_prunes_before_dim_joins(spark):
