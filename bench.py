@@ -36,14 +36,31 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM / codegen / parquet footer caches with a trivial action
-    # so the first measured query doesn't pay session startup.
+    # Fixed warm-up convention (round-5 VERDICT: identical-code sweep
+    # totals varied 163-282s on fresh JVMs — C2-compiler cold starts, not
+    # plan changes). One trivial action pays session startup, then a
+    # FIXED set of representative plan shapes (scan+agg, hash join, sort/
+    # window, broadcast top-k, mapInPandas) runs untimed so whole-stage-
+    # codegen classes and the hot JIT paths exist before the first timed
+    # query. Keeps sidecar totals comparable across rounds.
+    specs = registry.all_specs()
+    warmup = (
+        "agg_basic",
+        "join_inner",
+        "window_rank",
+        "tpch_q1",
+        "tpch_q10",
+        "text_token_counts",
+    )
     try:
         load_table(spark, sf_dir, "region").count()
+        for name in warmup:
+            if name in specs:
+                specs[name].builder(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
-
-    specs = registry.all_specs()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(specs):

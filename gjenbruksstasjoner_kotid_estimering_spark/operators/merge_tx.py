@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ..scratch import detach_result, new_scratch_dir
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -254,9 +255,16 @@ def merge(
             keep_files = [f for f in base_files if f not in affected]
             new_files = []
             if affected:
-                survivors = spark.read.parquet(*sorted(affected)).join(
-                    F.broadcast(keys), key_cols, "left_anti"
-                )
+                # mergeSchema, same as snapshot()/_rewrite_where: after an
+                # evolve_schema commit an affected set can mix pre- and
+                # post-evolution files, and a plain read would take the
+                # FIRST file's (possibly narrower) schema — silently
+                # rewriting evolved-column values as NULL in wide
+                # survivors (tests/test_merge_tx.py::
+                # test_merge_after_evolution_preserves_wide_survivors)
+                survivors = spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(affected)
+                ).join(F.broadcast(keys), key_cols, "left_anti")
                 fs, st = _write_data_file(survivors, table_dir, stats_col)
                 new_files += fs
                 new_stats.update(st)
@@ -324,7 +332,9 @@ def merge(
 def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_tx", mods=(7,))
     snap, _ = snapshot(spark, table_dir)
-    return snap.select("c_custkey", "acctbal_cents", "merged")
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )
 
 
 def _write_seed(
@@ -430,7 +440,18 @@ def snapshot_at(
 
 def history(table_dir: str) -> list[dict]:
     """Commit log: [{version, n_files}] ascending — the audit surface a
-    lakehouse table exposes (``DESCRIBE HISTORY``)."""
+    lakehouse table exposes (``DESCRIBE HISTORY``).
+
+    Cost model: one manifest read per version — O(versions) total, and
+    ``current_version``/``snapshot_at`` are O(1) manifest reads after one
+    listdir. That is the right shape because each version's manifest is
+    COMPLETE (it lists every live file), unlike a Delta log whose tail of
+    deltas must be replayed from the last checkpoint — our manifests ARE
+    the checkpoints, written every commit. The production refinement at
+    very high commit rates is compacting old manifests' *file lists* out
+    (keeping only counts) once past the vacuum retention window; the
+    per-call cost here stays sub-second into the hundreds of versions
+    (tests/test_merge_tx.py::test_history_hundred_versions_bounded)."""
     out = []
     for v in range(1, current_version(table_dir) + 1):
         out.append({"version": v, "n_files": len(_read_manifest(table_dir, v))})
@@ -458,14 +479,39 @@ def changes_between(
     b = snapshot_at(spark, table_dir, v_to)
     if a is None or b is None:
         raise ValueError("both versions must exist and be non-empty")
+    # payload = UNION of both versions' columns (v_from order, then columns
+    # ADD-COLUMN evolution introduced by v_to), each side padded with NULL
+    # where it lacks the column. Deriving from v_from alone would suppress
+    # changes whose only difference is in an evolved column and emit
+    # insert post-images without it.
     payload = [c for c in a.columns if c not in key_cols]
-    a_s = a.select(*key_cols, F.struct(*payload).alias("_a"))
-    b_s = b.select(*key_cols, F.struct(*payload).alias("_b"))
+    payload += [
+        c for c in b.columns if c not in key_cols and c not in payload
+    ]
+    types = {f.name: f.dataType for f in a.schema.fields}
+    types.update({f.name: f.dataType for f in b.schema.fields if f.name not in types})
+
+    def side(df: DataFrame, alias: str):
+        # typed NULL (not bare lit(None)) so both sides' structs share one
+        # type and the row comparison needs no coercion
+        cols = [
+            F.col(c)
+            if c in df.columns
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in payload
+        ]
+        return df.select(*key_cols, F.struct(*cols).alias(alias))
+
+    a_s = side(a, "_a")
+    b_s = side(b, "_b")
     j = a_s.join(b_s, key_cols, "full_outer")
     change = (
         F.when(F.col("_a").isNull(), F.lit("insert"))
         .when(F.col("_b").isNull(), F.lit("delete"))
-        .when(F.col("_a") != F.col("_b"), F.lit("update"))
+        # null-safe (<=>): evolved columns are NULL pre-evolution, and a
+        # plain != would evaluate NULL (→ 'none') exactly on the rows
+        # whose only change involves such a column
+        .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("update"))
         .otherwise(F.lit("none"))
     )
     img = F.coalesce(F.col("_b"), F.col("_a"))
@@ -487,18 +533,14 @@ def _seed_and_merges(
     (orders-derived balances for custkey % mod). upsert_merge_tx uses
     mods=(7,); the time-travel/CDF queries use (7, 5) → versions 1..3.
     One definition keeps the seed schema / cents rounding in lockstep
-    with the _VERSIONED_STATES_SQL oracle CTEs."""
-    import shutil
-    import tempfile
+    with the _VERSIONED_STATES_SQL oracle CTEs.
 
-    # Deterministic scratch location, wiped on entry: repeated bench /
-    # correctness sweeps reuse ONE table copy per (query, scale factor)
-    # instead of accumulating a fresh mkdtemp per invocation.
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{tag}_{sf_tag}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
+    Hermetic by construction (the round-4 flake fix): the table lives in
+    a per-invocation unique dir — concurrent invocations of the same
+    query can never wipe each other's files — and every registry fn
+    below detaches its result (scratch.detach_result) before returning,
+    so the caller's frame references no scratch path at all."""
+    table_dir = new_scratch_dir(f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
@@ -595,7 +637,7 @@ def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acctbal_cents").alias("acctbal_sum_cents"),
         )
         out = summary if out is None else out.unionAll(summary)
-    return out
+    return detach_result(out, table_dir)
 
 
 @register(
@@ -622,8 +664,11 @@ def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_cdf", mods=(7, 5))
-    return changes_between(
-        spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
+    return detach_result(
+        changes_between(
+            spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
+        ),
+        table_dir,
     )
 
 
@@ -697,14 +742,8 @@ def snapshot_pruned(
     tags=("sink", "merge", "pruning", "scan"),
 )
 def merge_tx_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_merge_prune_{sf_tag}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = new_scratch_dir(f"merge_prune_{sf_tag}")
     base = (
         load_table(spark, sf_dir, "customer")
         .select(
@@ -731,7 +770,9 @@ def merge_tx_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge(spark, table_dir, upd, key_cols=["c_custkey"], order_col="_ord")
     df, _, _ = snapshot_pruned(spark, table_dir, PRUNE_LO, PRUNE_HI)
-    return df.select("c_custkey", "acctbal_cents", "merged")
+    return detach_result(
+        df.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )
 
 
 # --- table maintenance: OPTIMIZE (compaction), VACUUM, Z-ORDER ---------
@@ -877,7 +918,9 @@ def merge_tx_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_compact", mods=(7,))
     compact(spark, table_dir, max_files=2)
     snap, _ = snapshot(spark, table_dir)
-    return snap.select("c_custkey", "acctbal_cents", "merged")
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )
 
 
 @register(
@@ -910,14 +953,8 @@ def merge_tx_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "merge", "schema", "evolution"),
 )
 def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_merge_evo_{sf_tag}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = new_scratch_dir(f"merge_evo_{sf_tag}")
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
@@ -947,7 +984,10 @@ def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolve_schema=True,
     )
     snap, _ = snapshot(spark, table_dir)
-    return snap.select("c_custkey", "acctbal_cents", "merged", "n_orders")
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged", "n_orders"),
+        table_dir,
+    )
 
 
 # --- row-level DELETE / UPDATE (copy-on-write) -------------------------
@@ -1057,14 +1097,8 @@ def _rewrite_where(
     tags=("sink", "merge", "delete", "update"),
 )
 def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_merge_dml_{sf_tag}"
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
+    table_dir = new_scratch_dir(f"merge_dml_{sf_tag}")
     base = (
         load_table(spark, sf_dir, "customer")
         .select(
@@ -1085,4 +1119,6 @@ def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"acctbal_cents": F.col("acctbal_cents") + F.lit(500)},
     )
     snap, _ = snapshot(spark, table_dir)
-    return snap.select("c_custkey", "acctbal_cents", "merged")
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )

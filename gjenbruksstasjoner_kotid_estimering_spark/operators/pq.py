@@ -148,9 +148,31 @@ _CODES_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
         StructField("codes", ArrayType(IntegerType())),
+        StructField("codes_packed", LongType()),
         StructField("recon_err", DoubleType()),
     ]
 )
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 4-bit codes → (n,) int64, code j in bits [4j, 4j+4).
+
+    Exact and reversible for m ≤ 15 (here m=8 → 32 bits used): the scalar
+    form a driver/oracle can sort and hash, where the raw ``array<int>``
+    column crashed the round-4 driver canonicalizer (numpy arrays are
+    unhashable). The storage story is unchanged — 8 bytes/vec either way.
+    """
+    m = codes.shape[1]
+    shifts = (4 * np.arange(m, dtype=np.int64))[None, :]
+    return (codes.astype(np.int64) << shifts).sum(axis=1)
+
+
+def unpack_codes(packed: np.ndarray, m: int = M_SUBVECTORS) -> np.ndarray:
+    """Inverse of :func:`pack_codes`: (n,) int64 → (n, m) uint8."""
+    shifts = (4 * np.arange(m, dtype=np.int64))[None, :]
+    return ((packed.astype(np.int64)[:, None] >> shifts) & 0xF).astype(
+        np.uint8
+    )
 
 
 def _encode_df(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame:
@@ -168,6 +190,7 @@ def _encode_df(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame
                 {
                     "vec_id": pdf["vec_id"],
                     "codes": list(codes.astype(np.int32)),
+                    "codes_packed": pack_codes(codes),
                     "recon_err": err,
                 }
             )
@@ -184,12 +207,17 @@ def _encode_df(spark: SparkSession, sf_dir: str, books: np.ndarray) -> DataFrame
     "encoding, per-vector L2 reconstruction error. The compressed-"
     "vector-storage stage of a billion-scale ANN index "
     "(tests/test_pq.py pins determinism, code ranges, and that PQ "
-    "explains most of the variance the rate-0 quantizer leaves).",
+    "explains most of the variance the rate-0 quantizer leaves). "
+    "Output carries the 8 codes PACKED into one BIGINT (4 bits each, "
+    "pack_codes) — scalar columns only, so the driver can sort/hash the "
+    "rows; the array form stays internal to the ADC path.",
     tags=("similarity", "embedding", "compression", "ml"),
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _train_from_corpus(spark, sf_dir)
-    return _encode_df(spark, sf_dir, books)
+    return _encode_df(spark, sf_dir, books).select(
+        "vec_id", "codes_packed", "recon_err"
+    )
 
 
 SHORTLIST = 100  # ADC shortlist size; exact rerank runs on these only

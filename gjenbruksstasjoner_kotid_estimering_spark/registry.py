@@ -55,67 +55,26 @@ def register(
 
 
 # The driver's correctness sweep walks ``queries()`` in dict-insertion
-# order under a ~50-query-per-round budget. Names the driver has NOT yet
-# verified are surfaced first so each round's budget lands on fresh surface;
-# then a re-verification rotation of the *oldest* driver evidence (names last
-# seen in CORRECTNESS_r01), so stale green rows get refreshed; everything
-# else follows in registration order.
-# Round-4 list = (all-registered minus r01∪r02∪r03) + r01-last-seen rotation.
+# order under a ~50-query-per-round budget. Round-5 ordering policy
+# (VERDICT r4 items 1-2, 6): (a) the two round-4 driver blemishes first so
+# their fixes get fresh driver rows (merge_tx_time_travel — the flaky red,
+# now hermetic; embedding_pq_codes — canonicalizer crash, now packed
+# BIGINT), plus their protocol siblings; (b) queries NEW this round;
+# (c) re-verification rotation by OLDEST driver evidence — all of the
+# r1-last-seen block, then the head of the r2-last-seen block — so no
+# green row goes more than a few rounds stale on the current codebase.
 _PRIORITY: tuple[str, ...] = (
-    # new this round — never driver-seen.
-    "stream_error_followup_join",
+    # (a) round-4 blemishes, re-verify first
     "merge_tx_time_travel",
-    "merge_tx_changes",
-    "graph_triangle_count",
-    "profile_columns",
-    "stat_regression_exact",
-    "events_ab_test",
-    "basket_part_pairs",
-    "merge_tx_pruned_read",
-    "merge_tx_compact_read",
-    "merge_tx_schema_evolution",
-    "merge_tx_delete_update",
-    "scan_python_datasource",
-    "sink_python_datasource",
-    "udtf_polymorphic_split",
-    "stream_stateful_tracker",
-    "recursive_cte_hierarchy",
-    "events_pattern_peaks",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "timeseries_rollup_cascade",
-    "text_segment_dedup",
-    "text_bm25_rank",
-    "events_anomaly_mad",
-    "text_gopher_quality_flags",
-    "upsert_merge_tx",
-    "bpe_pair_stats",
-    "dedup_containment_rare_shingle",
     "embedding_pq_codes",
-    "similarity_topk_pq",
-    "multimodal_frame_sample",
-    "multimodal_audio_stats",
-    "join_asof_forward",
-    "window_islands_runs",
-    "join_asof_abs_nearest",
-    "corpus_split_assign",
-    # the 4 operators no driver round has ever reached (judge-verified in
-    # round 3 via an independent oracle run; driver evidence is the record).
-    "doc_chunk_overlap",
-    "multimodal_binary_stats",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    # re-verification rotation: evidence last refreshed in round 1.
-    "agg_basic",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_filtered",
-    "date_trunc_agg",
-    "agg_cube",
-    "agg_pivot",
-    "agg_grouping_sets",
+    "merge_tx_changes",
+    "merge_tx_schema_evolution",
+    "sink_python_datasource",
+    "stream_error_followup_join",
+    "stream_stateful_tracker",
+    # (b) new this round — never driver-seen
+    "image_pipeline_stats",
+    # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",
     "sample_stratified",
@@ -156,6 +115,19 @@ _PRIORITY: tuple[str, ...] = (
     "try_funcs",
     "json_struct_parse",
     "string_funcs2",
+    # ... then the head of the round-2 block (the rest rotates in r6)
+    "set_union",
+    "asof_interp_join",
+    "queue_estimate",
+    "join_asof_nearest",
+    "upsert_last_write_wins",
+    "upsert_sink_shape",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk",
 )
 
 
@@ -190,6 +162,7 @@ def _load_all() -> None:
     from .plans import stats  # noqa: F401  # round-4 additions
     from .sources import pyds  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
+    from .sources import images  # noqa: F401  # round-5 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
     from .operators import graph  # noqa: F401  # round-2 additions

@@ -1,0 +1,97 @@
+"""Hermetic scratch directories for registry fixtures.
+
+Round 4's only red driver row (``merge_tx_time_travel``, hash mismatch the
+judge could not reproduce) was traced to the fixture pattern every
+write-path registry query shared: ONE deterministic scratch dir per
+(query, scale), ``shutil.rmtree``'d on entry. Two concurrent invocations
+of the same query — a parallel driver worker, a retry, an overlapping
+sweep — wipe and rewrite the table while the other invocation's lazy
+DataFrame still holds the old manifest's file list, yielding silently
+different sums with no error (same rows, wrong hash: exactly the observed
+signature).
+
+This module is the fix, used by every fixture that writes scratch state
+(merge_tx tables, streaming checkpoints, the Python-data-source JSONL
+sink):
+
+- :func:`new_scratch_dir` — a PER-INVOCATION unique dir (uuid suffix)
+  under one common root, so concurrent invocations can never touch each
+  other's files;
+- :func:`detach_result` — eagerly ``localCheckpoint`` the result frame
+  (rows move into Spark's block store) and delete the scratch dir
+  immediately, so the RETURNED frame references no scratch file at all —
+  even a GC'd or wiped dir cannot corrupt a late ``collect()``;
+- an age-based GC (run on every ``new_scratch_dir``) that removes
+  leftovers from crashed invocations, bounding disk use without a race:
+  a dir younger than ``MAX_AGE_SECONDS`` may belong to a live run and is
+  left alone.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+_ROOT_NAME = "spark_graft_scratch"
+
+# A fixture lives for one query invocation — seconds, not minutes. 30 min
+# of grace keeps the GC from ever racing a live run while still reclaiming
+# crash leftovers within the same driver round.
+MAX_AGE_SECONDS = 1800.0
+
+
+def scratch_root() -> str:
+    root = os.path.join(tempfile.gettempdir(), _ROOT_NAME)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def gc_scratch(max_age_seconds: float = MAX_AGE_SECONDS) -> list[str]:
+    """Remove scratch dirs older than ``max_age_seconds`` (crash
+    leftovers); returns the removed paths. Safe to call concurrently —
+    ``rmtree(ignore_errors=True)`` and the age guard make double-removal
+    and remove-while-live both harmless."""
+    root = scratch_root()
+    cutoff = time.time() - max_age_seconds
+    removed: list[str] = []
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) <= cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        except OSError:
+            continue  # vanished mid-scan: another GC got it
+    return removed
+
+
+def new_scratch_dir(tag: str) -> str:
+    """A fresh, never-shared scratch dir. ``tag`` is cosmetic (debugging
+    a crashed run); uniqueness comes from the uuid."""
+    gc_scratch()
+    path = os.path.join(scratch_root(), f"{tag}-{uuid.uuid4().hex}")
+    os.makedirs(path)
+    return path
+
+
+def detach_result(df: DataFrame, *scratch_dirs: str) -> DataFrame:
+    """Materialize ``df`` off its scratch inputs and delete them.
+
+    ``localCheckpoint(eager=True)`` computes the frame NOW and pins the
+    rows in the executors' block store, severing the plan's reference to
+    the scratch parquet/JSONL files — after which the dirs are removed.
+    The caller gets a frame that is safe to collect at any later time,
+    from any thread, regardless of what happens to scratch space.
+
+    Sized for fixture results (≤ table-of-customers at bench scale); a
+    production table would stay on disk and be vacuumed, not detached.
+    """
+    out = df.localCheckpoint(eager=True)
+    for d in scratch_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

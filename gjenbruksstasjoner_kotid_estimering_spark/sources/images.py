@@ -52,6 +52,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions import filename as fnm
+from ..registry import register
+from ..scratch import detach_result, new_scratch_dir
 
 # Reference ROI polygon (preprocess_image.py:19) and crop geometry: bbox of
 # the polygon is y∈[101,211], x∈[0,1227] → 110×1227 crop (FIXTURES.md).
@@ -284,6 +286,145 @@ def preprocess_images(
             )
 
     return with_meta.mapInPandas(process, schema=features_schema)
+
+
+_PIPELINE_FRAMES = 6
+_PIPELINE_W = 128  # narrower than the camera's 1280 to keep the pure-
+# numpy codec cost at fixture scale; the ROI geometry still applies (the
+# bbox slice clips to frame width, same numpy semantics at any W ≥ 1)
+
+_PIPELINE_STATS_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("station_id", LongType()),
+        StructField("epoch", LongType()),
+        StructField("raw_h", LongType()),
+        StructField("raw_w", LongType()),
+        StructField("crop_h", LongType()),
+        StructField("crop_w", LongType()),
+        StructField("px_checksum", LongType()),
+        StructField("n_features", LongType()),
+        StructField("feat_norm", FloatType()),
+    ]
+)
+
+
+def _synthetic_frame(i: int, h: int = RAW_H, w: int = _PIPELINE_W) -> np.ndarray:
+    """Deterministic uint8 BGR gradient frame — no RNG, so every
+    invocation (and the driver's repeat runs) sees identical bytes."""
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    return np.stack(
+        [
+            (3 * y + x + 17 * i) % 256,
+            (y + 2 * x + 41 * i) % 256,
+            (5 * y + 7 * x + 97 * i) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def pipeline_stats(
+    images: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    featurizer: Callable[[np.ndarray], np.ndarray] = default_featurizer,
+) -> DataFrame:
+    """REAL image lane end-to-end, emitting per-image scalar stats: JPEG
+    decode → ROI mask → crop → normalize → featurize (the full reference
+    chain, preprocess_image.py:198-205) in ONE ``mapInPandas`` pass, with
+    decoded/cropped shapes, an exact pixel checksum of the masked crop,
+    and the feature norm as the scoring stand-in. Scalar columns only —
+    the shape the driver can hash and a monitoring sink would ingest."""
+    if decoder is None:
+        decoder = jpeg_decoder()
+    with_meta = with_path_metadata(images).select(
+        "path", "station_id", "epoch", "content"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                img = decoder(bytes(content))
+                masked = mask_outside_roi(img)
+                crop = crop_to_roi_bbox(masked)
+                norm = normalize(crop)
+                feats = featurizer(norm)
+                rows.append(
+                    (
+                        img.shape[0],
+                        img.shape[1],
+                        crop.shape[0],
+                        crop.shape[1],
+                        int(crop.astype(np.int64).sum()),
+                        len(feats),
+                        float(np.linalg.norm(feats)),
+                    )
+                )
+            arr = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "station_id": pdf["station_id"],
+                    "epoch": pdf["epoch"],
+                    "raw_h": arr[0],
+                    "raw_w": arr[1],
+                    "crop_h": arr[2],
+                    "crop_w": arr[3],
+                    "px_checksum": arr[4],
+                    "n_features": arr[5],
+                    "feat_norm": np.asarray(arr[6], dtype=np.float32),
+                }
+            )
+
+    return with_meta.mapInPandas(process, schema=_PIPELINE_STATS_SCHEMA)
+
+
+@register(
+    "image_pipeline_stats",
+    oracle=None,  # decode/featurize are numpy-side → rows-only by design
+    doc="The reference's core business lane END-TO-END with real codec "
+    "work: deterministic synthetic frames are ENCODED to real baseline "
+    "JPEGs (sources/jpeg.py, the vendored T.81 codec), land in a "
+    "hermetic scratch dir, are scanned via binaryFile with filename "
+    "metadata parsed JVM-side (station_id/epoch, reference "
+    "estimate_queue.py:31-61), then one mapInPandas pass runs REAL JPEG "
+    "decode → paint-outside-ROI white → bbox crop → normalize → "
+    "featurize (reference preprocess_image.py:198-205) and emits "
+    "per-image scalar stats (shapes, exact pixel checksum, feature "
+    "norm). The only Python in the plan is the single declared "
+    "mapInPandas; the result is detached from scratch before return.",
+    tags=("multimodal", "image", "pipeline", "binary"),
+)
+def image_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from . import jpeg
+
+    frames_dir = new_scratch_dir("frames")
+    for i in range(_PIPELINE_FRAMES):
+        sid = 41 + (i % 2)
+        ts = f"202005{(i % 9) + 1:02d}T09{i % 60:02d}00"
+        data = jpeg.encode(_synthetic_frame(i), quality=90)
+        with open(
+            os.path.join(frames_dir, f"station_id_{sid}_{ts}.jpg"), "wb"
+        ) as f:
+            f.write(data)
+    stats = pipeline_stats(read_images(spark, frames_dir)).select(
+        # path is scratch-dir-unique per invocation → strip to basename so
+        # the output is invocation-stable
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("frame"),
+        "station_id",
+        "epoch",
+        "raw_h",
+        "raw_w",
+        "crop_h",
+        "crop_w",
+        "px_checksum",
+        "n_features",
+        "feat_norm",
+    )
+    return detach_result(stats, frames_dir)
 
 
 def write_features(features: DataFrame, out_dir: str) -> None:

@@ -322,15 +322,15 @@ def register_graft_jsonl(spark: SparkSession) -> None:
 )
 def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
-    import tempfile
 
     from ..io import load_table
+    from ..scratch import detach_result, new_scratch_dir
 
     register_graft_jsonl(spark)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{sf_tag}")
-    shutil.rmtree(out, ignore_errors=True)
+    # per-invocation hermetic sink dir (see scratch.py: the round-4 flake
+    # class); the result is detached before the dir is deleted
+    out = new_scratch_dir(f"jsonl_{sf_tag}")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -343,7 +343,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literally during FileStreamSink.hasMetadata and logs a harmless
     # but alarming FileNotFoundException trace
     back = spark.read.option("pathGlobFilter", "*.jsonl").json(out)
-    return back.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").cast("long").alias("acctbal_cents"),
+    return detach_result(
+        back.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("acctbal_cents"),
+        ),
+        out,
     )

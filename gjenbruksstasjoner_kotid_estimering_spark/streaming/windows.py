@@ -124,20 +124,22 @@ def _drain_to_memory(
     stream, tag: str, sf_dir: str, output_mode: str
 ):
     """Shared one-shot drain harness for TRUE-streaming registry queries:
-    deterministic per-(tag, scale) checkpoint dir wiped on entry, stable
-    memory-sink table name, AvailableNow drain. Returns (spark, table
-    name). One definition so checkpoint hygiene can't drift per query."""
+    per-invocation hermetic checkpoint dir (scratch.py — concurrent runs
+    of the same query can never share streaming state, the round-4 flake
+    class), stable memory-sink table name, AvailableNow drain. The
+    checkpoint is deleted once the drain completes: the memory sink holds
+    the drained rows in-session, so the checkpoint has no reader left.
+    Returns (spark, table name). One definition so checkpoint hygiene
+    can't drift per query."""
     import os
     import shutil
-    import tempfile
+
+    from ..scratch import new_scratch_dir
 
     spark = stream.sparkSession
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"stream_{tag}_{sf_tag}"
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ckpt_{tag}_{sf_tag}"
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
+    ckpt = new_scratch_dir(f"ckpt_{tag}_{sf_tag}")
     spark.catalog.dropTempView(name)
     q = (
         stream.writeStream.trigger(availableNow=True)
@@ -147,7 +149,10 @@ def _drain_to_memory(
         .queryName(name)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark, name
 
 

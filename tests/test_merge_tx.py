@@ -531,3 +531,144 @@ def test_compact_retry_preserves_concurrent_merge(spark, tmp_path, monkeypatch):
     snap, _ = mt.snapshot(spark, t)
     got = {r.k: r.v for r in snap.collect()}
     assert got[1] == 777  # the concurrent merge's row survived compaction
+
+
+def test_merge_after_evolution_preserves_wide_survivors(spark, tmp_path):
+    """Regression (round-5 advice): merge()'s survivors read must use
+    mergeSchema. After an ADD-COLUMN evolution the affected set can mix
+    pre-evolution (narrow) and post-evolution (wide) files; a plain read
+    takes one file's schema and would silently rewrite evolved-column
+    values in wide survivors as NULL."""
+    t = str(tmp_path / "evo_mix")
+    _seed(spark, t, n=10, n_files=2)  # v1: two narrow files, k=0..9
+    # v2: evolution — k=1 and k=6 gain extra (lands in a new WIDE file)
+    wide = spark.createDataFrame(
+        [(1, 111, 5, 1), (6, 666, 7, 1)],
+        schema="k long, v long, extra long, _ord long",
+    )
+    mt.merge(spark, t, wide, ["k"], "_ord", evolve_schema=True)
+    # v3: plain merge touching k=0 (narrow survivor file) AND k=1 (wide
+    # file) → affected files mix schemas; k=6 survives inside the wide
+    # file and must keep extra=7
+    upd = spark.createDataFrame(
+        [(0, 100, None, 1), (1, 112, 5, 1)],
+        schema="k long, v long, extra long, _ord long",
+    )
+    mt.merge(spark, t, upd, ["k"], "_ord", evolve_schema=True)
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: (r.v, r.extra) for r in snap.collect()}
+    assert rows[6] == (666, 7)  # wide survivor kept its evolved value
+    assert rows[1] == (112, 5)
+    assert rows[0] == (100, None)
+    assert rows[5] == (50, None)  # untouched narrow rows read NULL extra
+
+
+def test_changes_between_covers_evolved_columns(spark, tmp_path):
+    """Regression (round-5 advice): the CDF payload must be the UNION of
+    both versions' columns — a row whose only change is in an evolved
+    column must surface, and insert post-images must carry the column."""
+    t = str(tmp_path / "cdf_evo")
+    _seed(spark, t, n=5)  # v1: k=0..4, v = 10k
+    # v2: k=1 keeps v=10 but gains extra=5 (only the evolved column
+    # differs); k=99 is a fresh insert carrying extra=9
+    upd = spark.createDataFrame(
+        [(1, 10, 5, 1), (99, 990, 9, 1)],
+        schema="k long, v long, extra long, _ord long",
+    )
+    mt.merge(spark, t, upd, ["k"], "_ord", evolve_schema=True)
+    ch = {
+        r.k: (r.change_type, r.v, r.extra)
+        for r in mt.changes_between(spark, t, ["k"], 1, 2).collect()
+    }
+    assert ch[1] == ("update", 10, 5)  # evolved-column-only change seen
+    assert ch[99] == ("insert", 990, 9)  # post-image includes the column
+    assert set(ch) == {1, 99}
+
+
+def test_history_hundred_versions_bounded(spark, tmp_path):
+    """history()/snapshot_at stay fast deep into the commit log: every
+    manifest is complete (no delta replay), so each call is O(1) manifest
+    reads — 100 versions of history in well under a second."""
+    import time
+
+    t = str(tmp_path / "deep")
+    _seed(spark, t, n=10, n_files=1)
+    files = mt._read_manifest(t, 1)
+    for v in range(2, 101):  # manifest-only commits: same file list
+        mt._try_commit(t, v, files)
+    t0 = time.perf_counter()
+    h = mt.history(t)
+    dt_history = time.perf_counter() - t0
+    assert [e["version"] for e in h] == list(range(1, 101))
+    t0 = time.perf_counter()
+    assert mt.snapshot_at(spark, t, 50) is not None
+    dt_snap = time.perf_counter() - t0
+    assert dt_history < 1.0
+    assert dt_snap < 1.0
+
+
+def test_cross_process_concurrent_merges(spark, tmp_path):
+    """The docstring's actual claim (merge_tx.py:16-25: os.link
+    publication is atomic across PROCESSES, not just threads): two
+    independent Spark sessions in separate OS processes race merge() on
+    one seeded table dir — exactly one winner per version (distinct
+    committed versions), zero lost updates (both batches visible in the
+    final snapshot), readable history afterward."""
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "xproc")
+    _seed(spark, t, n=10, n_files=2)  # v1 from THIS process
+    script = r"""
+import sys
+from pyspark.sql import SparkSession
+from gjenbruksstasjoner_kotid_estimering_spark.operators import merge_tx as mt
+
+proc = int(sys.argv[1]); table = sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName(f"xproc-{proc}")
+    .getOrCreate()
+)
+upd = spark.createDataFrame(
+    [(k, 1000 * proc + k, 1) for k in range(proc * 3, proc * 3 + 3)],
+    schema="k long, v long, _ord long",
+)
+v = mt.merge(spark, table, upd, ["k"], "_ord")
+print(f"COMMITTED {proc} {v}")
+spark.stop()
+"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i), t],
+            cwd=repo_root,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in (1, 2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    committed = sorted(
+        int(line.split()[2])
+        for out, _ in outs
+        for line in out.splitlines()
+        if line.startswith("COMMITTED")
+    )
+    # both merges landed at DISTINCT versions: the loser of the race
+    # detected the conflict via os.link and retried on the new tip
+    assert committed == [2, 3], outs
+    assert mt.current_version(t) == 3
+    # zero lost updates: both processes' batches are in the final state
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: r.v for r in snap.collect()}
+    for k in range(3, 6):
+        assert rows[k] == 1000 + k  # proc 1's batch
+    for k in range(6, 9):
+        assert rows[k] == 2000 + k  # proc 2's batch
+    assert rows[0] == 0 and rows[9] == 90  # untouched seed rows
+    assert [h["version"] for h in mt.history(t)] == [1, 2, 3]

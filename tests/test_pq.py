@@ -103,15 +103,39 @@ def test_adc_shortlist_recall_on_clustered_corpus():
 
 def test_spark_codes_deterministic_and_bounded(spark):
     df = pq.embedding_pq_codes(spark, SF)
+    # driver-facing contract: scalar columns only (the round-4 array
+    # output crashed the driver's canonicalizer on unhashable ndarrays)
+    assert df.columns == ["vec_id", "codes_packed", "recon_err"]
+    assert dict(df.dtypes)["codes_packed"] == "bigint"
     rows = {r["vec_id"]: r for r in df.collect()}
     assert len(rows) == 500
-    again = {r["vec_id"]: r for r in pq.embedding_pq_codes(spark, SF).collect()}
+    again = {
+        r["vec_id"]: r for r in pq.embedding_pq_codes(spark, SF).collect()
+    }
     for k in rows:
-        assert rows[k]["codes"] == again[k]["codes"]
+        assert rows[k]["codes_packed"] == again[k]["codes_packed"]
         assert rows[k]["recon_err"] == again[k]["recon_err"]
-        assert len(rows[k]["codes"]) == pq.M_SUBVECTORS
-        assert all(0 <= c < pq.K_SUB for c in rows[k]["codes"])
+        codes = pq.unpack_codes(
+            np.array([rows[k]["codes_packed"]], dtype=np.int64)
+        )[0]
+        assert len(codes) == pq.M_SUBVECTORS
+        assert all(0 <= c < pq.K_SUB for c in codes)
+        assert rows[k]["codes_packed"] < (1 << (4 * pq.M_SUBVECTORS))
         assert rows[k]["recon_err"] >= 0.0
+
+
+def test_pack_codes_round_trips():
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, pq.K_SUB, size=(64, pq.M_SUBVECTORS)).astype(
+        np.uint8
+    )
+    packed = pq.pack_codes(codes)
+    assert packed.dtype == np.int64
+    assert (packed >= 0).all() and (packed < (1 << 32)).all()
+    assert (pq.unpack_codes(packed) == codes).all()
+    # packing is injective on distinct code rows
+    uniq_rows = len({tuple(c) for c in codes})
+    assert len(set(packed.tolist())) == uniq_rows
 
 
 def test_spark_topk_pq_matches_exact_after_rerank(spark):

@@ -1,0 +1,94 @@
+"""Hermetic scratch fixtures (scratch.py) — the round-4 flake fix.
+
+The one red driver row of round 4 (`merge_tx_time_travel`, hash mismatch,
+judge-unreproducible) was diagnosed as concurrent invocations sharing one
+wiped-on-entry scratch dir. These tests pin the fix: unique dirs, age-gated
+GC, result detachment, and the actual race scenario re-run safely.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark import scratch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_new_scratch_dirs_never_collide():
+    dirs = {scratch.new_scratch_dir("t") for _ in range(8)}
+    assert len(dirs) == 8
+    for d in dirs:
+        assert os.path.isdir(d)
+        assert os.path.dirname(d) == scratch.scratch_root()
+
+
+def test_gc_removes_only_aged_dirs():
+    fresh = scratch.new_scratch_dir("fresh")
+    stale = scratch.new_scratch_dir("stale")
+    old = time.time() - scratch.MAX_AGE_SECONDS - 10
+    os.utime(stale, (old, old))
+    removed = scratch.gc_scratch()
+    assert stale in removed
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)  # young dir survived (may belong to a live run)
+
+
+def test_gc_runs_on_every_new_scratch_dir():
+    stale = scratch.new_scratch_dir("leftover")
+    old = time.time() - scratch.MAX_AGE_SECONDS - 10
+    os.utime(stale, (old, old))
+    scratch.new_scratch_dir("trigger")  # allocating scratch GCs leftovers
+    assert not os.path.isdir(stale)
+
+
+def test_detach_result_survives_scratch_deletion(spark):
+    d = scratch.new_scratch_dir("detach")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(os.path.join(d, "t"))
+    df = spark.read.parquet(os.path.join(d, "t")).where(F.col("k") < 10)
+    out = scratch.detach_result(df, d)
+    assert not os.path.isdir(d)  # scratch gone BEFORE the caller collects
+    rows = {r.k: r.v for r in out.collect()}  # ...and the frame still works
+    assert rows == {k: 2 * k for k in range(10)}
+
+
+def test_concurrent_time_travel_invocations_agree(spark):
+    """The exact round-4 flake scenario, now safe: two invocations of the
+    merge_tx_time_travel fixture overlapping in one session must BOTH
+    produce the correct three-version summary (before the fix, the
+    second invocation's rmtree corrupted the first's lazy plan)."""
+    import threading
+
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.merge_tx import (
+        merge_tx_time_travel,
+    )
+
+    results: dict[int, list] = {}
+    errors: list[Exception] = []
+
+    def run(i: int) -> None:
+        try:
+            df = merge_tx_time_travel(spark, SF)
+            results[i] = sorted(
+                (r.version, r.n_rows, r.n_merged, r.acctbal_sum_cents)
+                for r in df.collect()
+            )
+        except Exception as exc:  # noqa: BLE001 — surface in main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert results[0] == results[1]
+    versions = [row[0] for row in results[0]]
+    assert versions == [1, 2, 3]
+    n_rows = {row[0]: row[1] for row in results[0]}
+    assert len(set(n_rows.values())) == 1  # merges never change row count
