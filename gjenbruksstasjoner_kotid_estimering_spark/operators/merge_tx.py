@@ -672,6 +672,52 @@ def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQL surface: VERSION AS OF views + table_changes ------------------
+
+def create_version_view(
+    spark: SparkSession, table_dir: str, name: str, version: int | None = None
+) -> str:
+    """Expose a committed snapshot to ``spark.sql``: registers temp view
+    ``name`` (current snapshot) or ``name_v{N}`` over version N — the
+    ``SELECT * FROM tbl VERSION AS OF N`` semantics the docstrings cite,
+    via the one mechanism plain Spark offers for naming a frame. Returns
+    the registered view name. Views are cheap manifest reads; the
+    underlying files are immutable, so a registered version stays
+    readable until ``vacuum`` passes its retention window."""
+    if version is None:
+        df, version = snapshot(spark, table_dir)
+        view = name
+    else:
+        df = snapshot_at(spark, table_dir, version)
+        view = f"{name}_v{version}"
+    if df is None:
+        raise ValueError(f"version {version} is empty or absent")
+    df.createOrReplaceTempView(view)
+    return view
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Delta-CDF-shaped change feed: ``changes_between`` re-emitted with
+    the ``table_changes('t', from, to)`` output convention — payload
+    columns plus ``_change_type`` and ``_commit_version`` (the version
+    whose commit made the change visible, = v_to for a snapshot diff).
+    Register the result as a view to query it from SQL
+    (tests/test_merge_tx.py::test_sql_surface_version_and_changes)."""
+    ch = changes_between(spark, table_dir, key_cols, v_from, v_to)
+    payload = [c for c in ch.columns if c != "change_type"]
+    return ch.select(
+        *payload,
+        F.col("change_type").alias("_change_type"),
+        F.lit(v_to).cast("long").alias("_commit_version"),
+    )
+
+
 # --- data skipping: per-file stats pruning -----------------------------
 
 PRUNE_LO, PRUNE_HI = 20, 80
