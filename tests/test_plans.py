@@ -257,3 +257,33 @@ def test_triangle_wedge_joins_are_hash_joins(spark):
     plan = _plan(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_pipeline_single_python_boundary(spark, tmp_path):
+    """The image lane's plan must contain exactly ONE Python boundary
+    (the declared mapInPandas running decode→mask→crop→normalize→
+    featurize) and no row-at-a-time Python anywhere. Pinned on the
+    library frame — the registry entry detaches its result, so its final
+    plan is a block scan by design."""
+    import numpy as np
+
+    from gjenbruksstasjoner_kotid_estimering_spark.sources import images as im
+    from gjenbruksstasjoner_kotid_estimering_spark.sources import jpeg
+
+    frame = np.zeros((16, 16, 3), dtype=np.uint8)
+    p = tmp_path / "station_id_41_20200506T094000.jpg"
+    p.write_bytes(jpeg.encode(frame))
+    df = im.pipeline_stats(im.read_images(spark, str(tmp_path)))
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jqe.explainString(mode)
+    import re
+
+    # formatted mode names each node once in the tree and once in the
+    # details — count the detail headers
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # metadata parse stays JVM-side
