@@ -446,3 +446,54 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(depth AS BIGINT) AS depth, root_id, path
         FROM tree
     """)
+
+
+PATH_LEN = 3  # trigram paths
+TOP_PATHS = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT {TOP_PATHS}
+    """,
+    doc="Top event paths (behavioral sequence mining): each user's "
+    "timeline ordered by (ts, event_id) yields consecutive "
+    f"{PATH_LEN}-grams of event types via lead() — one shuffle on "
+    "user_id, no self-joins however long the sequences — then a global "
+    f"count with deterministic (count DESC, path) top-{TOP_PATHS} via "
+    "TakeOrdered, never a full sort. The 'what do users do before X' "
+    "query every product-analytics warehouse runs; at 100 TB the "
+    "per-user window is the only stateful step and paths partial-"
+    "aggregate map-side.",
+    tags=("events", "analytics", "sequence", "topk"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(TOP_PATHS)
+    )

@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stateful_tracker",
     # (b) new this round — never driver-seen
     "image_pipeline_stats",
+    "join_bucketed_colocated",
+    "events_top_paths",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",
@@ -163,6 +165,7 @@ def _load_all() -> None:
     from .sources import pyds  # noqa: F401  # round-4 additions
     from .operators import pq  # noqa: F401  # round-4 additions
     from .sources import images  # noqa: F401  # round-5 additions
+    from .plans import bucketed  # noqa: F401  # round-5 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
     from .operators import graph  # noqa: F401  # round-2 additions

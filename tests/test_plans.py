@@ -287,3 +287,16 @@ def test_image_pipeline_single_python_boundary(spark, tmp_path):
     assert nodes.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan  # metadata parse stays JVM-side
+
+
+def test_bucketed_registry_join_no_exchange_below_join(spark):
+    """join_bucketed_colocated's claim: with both facts bucketed on the
+    join key, the ONLY exchange in the plan is the final group-by — the
+    join itself reads bucket-aligned splits shuffle-free."""
+    from gjenbruksstasjoner_kotid_estimering_spark.plans.bucketed import (
+        bucketed_join_plan,
+    )
+
+    plan = bucketed_join_plan(spark, SF)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan  # the 5-group agg only
