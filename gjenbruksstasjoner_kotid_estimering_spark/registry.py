@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "image_pipeline_stats",
     "join_bucketed_colocated",
     "events_top_paths",
+    "stream_tumbling_window_true",
+    "stream_session_window_true",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",

@@ -156,6 +156,121 @@ def _drain_to_memory(
     return spark, name
 
 
+WM_DELAY = "30 minutes"  # watermark delay shared by the TRUE-window rows
+
+
+@register(
+    "stream_tumbling_window_true",
+    oracle="""
+        WITH c AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_value_cents
+        FROM events, c
+        WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE
+              <= c.wm
+        GROUP BY 1, 2
+    """,
+    doc="TRUE streaming tumbling-window aggregate, oracle-checked: "
+    "readStream → withWatermark(30 min) → 10-minute window agg → "
+    "AvailableNow drain in APPEND mode. Append emits a window exactly "
+    "when the watermark passes its end, and the terminal no-data "
+    "micro-batch flushes everything closed by the final watermark "
+    "(global max event time − delay) — so the drained set is exactly "
+    "the batch windows whose end ≤ max(ts) − 30 min, which is what the "
+    "oracle computes. The one open tail window stays in state, as it "
+    "would in production. Completes the streaming lane's oracle "
+    "coverage: join (r4), arbitrary state (r4), and now the windowed "
+    "aggregate — the three stateful operator families.",
+    tags=("streaming", "window", "watermark"),
+)
+def stream_tumbling_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .file_stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM_DELAY)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    spark, name = _drain_to_memory(agg, "twin_true", sf_dir, "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_session_window_true",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ),
+        g AS (
+          SELECT user_id,
+                 min(ts) AS session_start,
+                 max(ts) + INTERVAL 30 MINUTE AS session_end,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM g, (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events) c
+        WHERE session_end <= c.wm
+    """,
+    doc="TRUE streaming session windows, oracle-checked: readStream → "
+    "withWatermark(30 min) → session_window(30-min gap) per user → "
+    "AvailableNow APPEND drain. Spark merges events into sessions whose "
+    "end = last event + gap and emits each session once the watermark "
+    "passes its end; the oracle recomputes the identical sessions "
+    "relationally (gaps-and-islands: break on >30-min silence, "
+    "cumulative-sum session ids) and applies the same final-watermark "
+    "cutoff. Equal-timestamp ties are harmless — break flags and "
+    "min/max/count are order-invariant within a tie. The dynamic-gap "
+    "batch twin is sessionize_gaps.",
+    tags=("streaming", "session", "watermark"),
+)
+def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .file_stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM_DELAY)
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    spark, name = _drain_to_memory(agg, "sess_true", sf_dir, "append")
+    return spark.table(name)
+
+
 @register(
     "stream_error_followup_join",
     oracle="""
