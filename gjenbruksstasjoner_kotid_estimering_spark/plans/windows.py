@@ -460,3 +460,66 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.element_at(merged, "status"), F.element_at(merged, "id")
         ).alias("merged_probe"),
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+        WITH firsts AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY event_type, user_id
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS is_first
+          FROM events
+        ),
+        daily AS (
+          SELECT event_type, day,
+                 CAST(sum(is_first) AS BIGINT) AS new_users
+          FROM firsts GROUP BY event_type, day
+        )
+        SELECT event_type, day, new_users,
+               CAST(sum(new_users) OVER (
+                      PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cumulative_distinct_users
+        FROM daily
+    """,
+    doc="Running COUNT(DISTINCT) — the window aggregate SQL engines "
+    "refuse to evaluate directly (distinct state per frame) — via the "
+    "standard linearization: a per-(group, user) first-occurrence flag "
+    "(row_number = 1), daily sums of new users, then a cumulative sum "
+    "over days. Three window/agg steps that all shuffle on bounded keys "
+    "— no per-frame distinct state however long the history grows, "
+    "which is why every 100 TB 'cumulative uniques' dashboard computes "
+    "it exactly this way.",
+    tags=("window", "distinct", "cumulative", "events"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    firsts = ev.select(
+        "event_type",
+        # string day: Spark date objects and DuckDB datetime64 canon
+        # differently — ISO strings hash identically on both engines
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.sum("is_first").alias("new_users")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w_cum).alias("cumulative_distinct_users"),
+    )

@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_top_paths",
     "stream_tumbling_window_true",
     "stream_session_window_true",
+    "window_running_distinct",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",
