@@ -38,3 +38,85 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+# --- round-5: XML + ORC round-trip registry rows -----------------------
+
+def _nation_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.round(F.col("s_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+"""
+
+
+def _register_roundtrip(name: str, fmt: str, read_opts: dict, write_opts: dict, doc: str):
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+    from ..scratch import detach_result, new_scratch_dir
+
+    @register(name, oracle=_ROUNDTRIP_ORACLE, doc=doc, tags=("source", fmt, "sink"))
+    def roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        out = new_scratch_dir(f"{fmt}_{os.path.basename(sf_dir.rstrip('/'))}")
+        path = os.path.join(out, "t")
+        w = _nation_proj(spark, sf_dir).write.format(fmt)
+        for k, v in write_opts.items():
+            w = w.option(k, v)
+        w.save(path)
+        r = spark.read.format(fmt)
+        for k, v in read_opts.items():
+            r = r.option(k, v)
+        back = r.load(path)
+        agg = back.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("acctbal_cents").cast("long").alias("acctbal_cents"),
+        )
+        return detach_result(agg, out)
+
+    return roundtrip
+
+
+scan_xml_roundtrip = _register_roundtrip(
+    "scan_xml_roundtrip",
+    "xml",
+    read_opts={"rowTag": "supplier"},
+    write_opts={"rootTag": "suppliers", "rowTag": "supplier"},
+    doc="Native XML source/sink (Spark 4 built-in, from spark-xml): the "
+    "supplier projection writes as element-per-row XML and reads back "
+    "with rowTag schema inference, then aggregates to the oracle's "
+    "answer — a lossless round-trip through the one text format "
+    "enterprise feeds still arrive in. Hermetic scratch; result "
+    "detached. At scale XML is an INGEST format (parsed once, stored "
+    "columnar), which is exactly the shape here.",
+)
+
+scan_orc_roundtrip = _register_roundtrip(
+    "scan_orc_roundtrip",
+    "orc",
+    read_opts={},
+    write_opts={},
+    doc="ORC source/sink round-trip: the other columnar format Spark "
+    "ships (zlib-compressed, predicate-pushdown-capable like parquet); "
+    "the supplier projection writes/reads/aggregates hash-exact against "
+    "the oracle. Proves the engine is not parquet-monogamous — a "
+    "migration from an ORC warehouse reads natively.",
+)
