@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_distinct",
     "scan_xml_roundtrip",
     "scan_orc_roundtrip",
+    "sql_ddl_roundtrip",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",
@@ -172,6 +173,7 @@ def _load_all() -> None:
     from .sources import images  # noqa: F401  # round-5 additions
     from .plans import bucketed  # noqa: F401  # round-5 additions
     from .sources import files  # noqa: F401  # round-5 additions
+    from .plans import ddl  # noqa: F401  # round-5 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
     from .operators import graph  # noqa: F401  # round-2 additions
