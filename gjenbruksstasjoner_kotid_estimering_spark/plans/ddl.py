@@ -10,6 +10,7 @@ already proves ``bucketBy`` managed tables; io.py the path-based sinks).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ..scratch import detach_result, new_scratch_dir
 
 
 @register(
@@ -41,6 +43,11 @@ from ..registry import register
 def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = f"cust_ddl_{uuid.uuid4().hex[:12]}"
     src = f"src_{t}"
+    # table data lives under a scratch dir (external LOCATION), so a
+    # crashed run's files are age-GC'd like every other fixture instead
+    # of accumulating in the warehouse (review round 5)
+    scratch = new_scratch_dir(f"ddl_{os.path.basename(sf_dir.rstrip('/'))}")
+    loc = os.path.join(scratch, t)
     load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -48,7 +55,7 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView(src)
     try:
         spark.sql(
-            f"CREATE TABLE {t} USING PARQUET AS "
+            f"CREATE TABLE {t} USING PARQUET LOCATION '{loc}' AS "
             f"SELECT * FROM {src} WHERE c_custkey % 2 = 0"
         )
         spark.sql(
@@ -62,7 +69,7 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {t} GROUP BY c_mktsegment
             """
         )
-        out = agg.localCheckpoint(eager=True)
+        out = detach_result(agg, scratch)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.dropTempView(src)

@@ -51,9 +51,35 @@ def scratch_root() -> str:
     return root
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself, every subdir,
+    every file). A directory's own mtime FREEZES once its layout stops
+    changing (e.g. a merge_tx table writing only inside ``data/`` and
+    ``_commits/``), so judging liveness by the top-level mtime alone
+    would reap a long-running invocation mid-run — the exact corruption
+    class this module exists to prevent. Fixture trees are small
+    (hundreds of entries), so the walk is cheap."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return newest
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, name))
+                )
+            except OSError:
+                continue  # entry vanished mid-walk
+    return newest
+
+
 def gc_scratch(max_age_seconds: float = MAX_AGE_SECONDS) -> list[str]:
-    """Remove scratch dirs older than ``max_age_seconds`` (crash
-    leftovers); returns the removed paths. Safe to call concurrently —
+    """Remove scratch dirs whose ENTIRE tree is older than
+    ``max_age_seconds`` (crash leftovers); returns the removed paths.
+    Liveness is the newest mtime in the tree, not the top dir's — see
+    :func:`_newest_mtime`. Safe to call concurrently —
     ``rmtree(ignore_errors=True)`` and the age guard make double-removal
     and remove-while-live both harmless."""
     root = scratch_root()
@@ -62,7 +88,7 @@ def gc_scratch(max_age_seconds: float = MAX_AGE_SECONDS) -> list[str]:
     for name in os.listdir(root):
         path = os.path.join(root, name)
         try:
-            if os.path.getmtime(path) <= cutoff:
+            if _newest_mtime(path) <= cutoff:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
         except OSError:

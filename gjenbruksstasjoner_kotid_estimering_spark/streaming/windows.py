@@ -124,23 +124,24 @@ def _drain_to_memory(
     stream, tag: str, sf_dir: str, output_mode: str
 ):
     """Shared one-shot drain harness for TRUE-streaming registry queries:
-    per-invocation hermetic checkpoint dir (scratch.py — concurrent runs
-    of the same query can never share streaming state, the round-4 flake
-    class), stable memory-sink table name, AvailableNow drain. The
-    checkpoint is deleted once the drain completes: the memory sink holds
-    the drained rows in-session, so the checkpoint has no reader left.
-    Returns (spark, table name). One definition so checkpoint hygiene
-    can't drift per query."""
+    per-invocation hermetic checkpoint dir AND per-invocation query/view
+    name (scratch.py convention — concurrent runs of the same query can
+    never share streaming state or collide on an active queryName, the
+    round-4 flake class), AvailableNow drain. The drained rows are
+    DETACHED (eager localCheckpoint) before both the checkpoint and the
+    memory-sink view are discarded, so the returned frame references no
+    shared state at all. One definition so drain hygiene can't drift per
+    query."""
     import os
     import shutil
+    import uuid
 
     from ..scratch import new_scratch_dir
 
     spark = stream.sparkSession
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"stream_{tag}_{sf_tag}"
+    name = f"stream_{tag}_{sf_tag}_{uuid.uuid4().hex[:8]}"
     ckpt = new_scratch_dir(f"ckpt_{tag}_{sf_tag}")
-    spark.catalog.dropTempView(name)
     q = (
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
@@ -151,9 +152,11 @@ def _drain_to_memory(
     )
     try:
         q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
     finally:
+        spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark, name
+    return out
 
 
 WM_DELAY = "30 minutes"  # watermark delay shared by the TRUE-window rows
@@ -206,8 +209,7 @@ def stream_tumbling_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_cents",
         )
     )
-    spark, name = _drain_to_memory(agg, "twin_true", sf_dir, "append")
-    return spark.table(name)
+    return _drain_to_memory(agg, "twin_true", sf_dir, "append")
 
 
 @register(
@@ -267,8 +269,7 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    spark, name = _drain_to_memory(agg, "sess_true", sf_dir, "append")
-    return spark.table(name)
+    return _drain_to_memory(agg, "sess_true", sf_dir, "append")
 
 
 @register(
@@ -302,8 +303,7 @@ def stream_error_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .file_stream import error_followup_join, read_events_stream
 
     joined = error_followup_join(read_events_stream(spark, sf_dir))
-    spark, name = _drain_to_memory(joined, "err_join", sf_dir, "append")
-    return spark.table(name)
+    return _drain_to_memory(joined, "err_join", sf_dir, "append")
 
 
 @register(
@@ -335,13 +335,12 @@ def stream_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import stateful_station_tracker
 
     stream = stateful_station_tracker(read_events_stream(spark, sf_dir))
-    spark, name = _drain_to_memory(stream, "tracker", sf_dir, "update")
+    drained = _drain_to_memory(stream, "tracker", sf_dir, "update")
     rn = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     )
     return (
-        spark.table(name)
-        .withColumn("_rn", rn)
+        drained.withColumn("_rn", rn)
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )

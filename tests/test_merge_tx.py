@@ -603,8 +603,10 @@ def test_history_hundred_versions_bounded(spark, tmp_path):
     t0 = time.perf_counter()
     assert mt.snapshot_at(spark, t, 50) is not None
     dt_snap = time.perf_counter() - t0
-    assert dt_history < 1.0
-    assert dt_snap < 1.0
+    # generous bounds: the point is O(versions) manifest reads, not a
+    # wall-clock SLO — a contended CI box must not flake this
+    assert dt_history < 5.0
+    assert dt_snap < 5.0
 
 
 def test_cross_process_concurrent_merges(spark, tmp_path):

@@ -92,3 +92,55 @@ def test_concurrent_time_travel_invocations_agree(spark):
     assert versions == [1, 2, 3]
     n_rows = {row[0]: row[1] for row in results[0]}
     assert len(set(n_rows.values())) == 1  # merges never change row count
+
+
+def test_gc_liveness_is_tree_deep_not_top_dir(spark):
+    """Regression (round-5 review): a long-running invocation whose top
+    scratch dir's mtime froze (all writes land in subdirs — the merge_tx
+    table shape) must NOT be reaped while any file in its tree is fresh."""
+    live = scratch.new_scratch_dir("longrun")
+    sub = os.path.join(live, "data", "part")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "f.parquet"), "w") as f:
+        f.write("x")
+    # top dir and intermediate dirs look ancient; the FILE is fresh
+    old = time.time() - scratch.MAX_AGE_SECONDS - 10
+    os.utime(live, (old, old))
+    os.utime(os.path.join(live, "data"), (old, old))
+    os.utime(sub, (old, old))
+    removed = scratch.gc_scratch()
+    assert live not in removed
+    assert os.path.isdir(live)
+    # and once the file ages out too, the tree is reclaimed
+    os.utime(os.path.join(sub, "f.parquet"), (old, old))
+    assert live in scratch.gc_scratch()
+    assert not os.path.isdir(live)
+
+
+def test_concurrent_streaming_invocations_agree(spark):
+    """Round-5 review regression: the drain harness's queryName and
+    memory-sink view are per-invocation now — two overlapping runs of
+    the same TRUE-streaming query in one session must both succeed and
+    agree (before: 'query with that name is already active' or
+    TABLE_OR_VIEW_NOT_FOUND depending on interleaving)."""
+    import threading
+
+    from gjenbruksstasjoner_kotid_estimering_spark.registry import all_specs
+
+    builder = all_specs()["stream_tumbling_window_true"].builder
+    res: dict[int, list] = {}
+    errors: list[Exception] = []
+
+    def run(i: int) -> None:
+        try:
+            res[i] = sorted(map(tuple, builder(spark, SF).collect()))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert res[0] == res[1] and len(res[0]) > 0
