@@ -419,6 +419,43 @@ def run_streaming_merge(
     )
 
 
+@register(
+    "stream_merge_sink_true",
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_type, value, ts, event_id
+        FROM ranked WHERE rn = 1
+    """,
+    doc="TRUE streaming → transactional MERGE sink, end-to-end and "
+    "oracle-checked: the events stream drains through foreachBatch into "
+    "a copy-on-write MERGE table keyed by (user_id, event_type) with "
+    "last-write-wins on (ts, event_id), and the committed snapshot read "
+    "back must hash-equal the batch latest-per-key window — proving the "
+    "whole production streaming-upsert lane (at-least-once delivery + "
+    "idempotent MERGE = exactly-once state) under the driver's gate. "
+    "Hermetic scratch table + checkpoint; result detached before "
+    "cleanup.",
+    tags=("streaming", "sink", "merge", "upsert"),
+)
+def stream_merge_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"stream_merge_{sf_tag}")
+    ckpt = new_scratch_dir(f"stream_merge_ckpt_{sf_tag}")
+    run_streaming_merge(spark, sf_dir, table_dir, ckpt)
+    snap, _ = snapshot(spark, table_dir)
+    return detach_result(
+        snap.select("user_id", "event_type", "value", "ts", "event_id"),
+        table_dir,
+        ckpt,
+    )
+
+
 # --- snapshot history: time travel + change data feed ------------------
 
 def snapshot_at(

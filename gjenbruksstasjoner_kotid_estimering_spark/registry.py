@@ -82,6 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "scan_xml_roundtrip",
     "scan_orc_roundtrip",
     "sql_ddl_roundtrip",
+    "stream_dedup_true",
+    "stream_merge_sink_true",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",

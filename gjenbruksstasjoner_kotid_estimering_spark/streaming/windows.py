@@ -273,6 +273,39 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_true",
+    oracle="""
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS hour
+        FROM events
+    """,
+    doc="TRUE streaming dedup, oracle-checked: readStream → watermark → "
+    "dropDuplicatesWithinWatermark on (user_id, event_type, hour) → "
+    "AvailableNow APPEND drain. The engine keeps one state entry per "
+    "key within the watermark horizon and emits each key's first "
+    "arrival; projected onto the dedup key columns the drained set is "
+    "exactly SELECT DISTINCT (which row of a key emits depends on "
+    "processing order, so only the key columns are output — the "
+    "deterministic contract). Batch twin with full-row semantics: "
+    "dedup_time_bounded. At 100 TB the hour component is what bounds "
+    "state: eviction follows the watermark, so memory is one horizon's "
+    "keys, not history's.",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .file_stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour", WM_DELAY)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+        .select("user_id", "event_type", "hour")
+    )
+    return _drain_to_memory(deduped, "dedup_true", sf_dir, "append")
+
+
+@register(
     "stream_error_followup_join",
     oracle="""
         SELECT e1.user_id AS err_user, e1.ts AS err_ts,
