@@ -169,3 +169,48 @@ def join_asof_abs_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value.alias("nearest_error_value"),
         dist.cast("long").alias("nearest_error_dist_us"),
     )
+
+
+@register(
+    "string_collation_ci",
+    oracle="""
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END AS t
+          FROM part
+        )
+        SELECT lower(t) AS p_type_ci,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_case_variants
+        FROM mixed GROUP BY lower(t)
+    """,
+    doc="Spark 4 collation support: part types are deliberately "
+    "case-scrambled (even keys UPPER, odd lower), then grouped under "
+    "the UNICODE_CI collation — the engine merges case variants in the "
+    "grouping comparator itself, no lower() normalization column — "
+    "while count(DISTINCT t) inside the group still runs binary-collated "
+    "and counts the variants that were merged. Output key is lowered + "
+    "cast back to the default collation so both engines canon "
+    "identically (the oracle mirrors with GROUP BY lower(); exact for "
+    "this ASCII domain, where CI equivalence == case folding).",
+    tags=("string", "collation", "agg"),
+)
+def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("t"), "UNICODE_CI").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("t")).alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("p_type_ci"),
+            "n",
+            "n_case_variants",
+        )
+    )

@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_ddl_roundtrip",
     "stream_dedup_true",
     "stream_merge_sink_true",
+    "string_collation_ci",
     # (c) rotation: evidence last refreshed in round 1 (40 names) ...
     "unpivot_melt",
     "agg_stats_exact",
