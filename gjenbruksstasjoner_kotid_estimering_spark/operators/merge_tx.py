@@ -204,6 +204,7 @@ def merge(
     order_col: str | list[str],
     max_retries: int = 10,
     evolve_schema: bool = False,
+    conditional: bool = False,
 ) -> int:
     """MERGE INTO table_dir USING updates ON key_cols:
     matched → replace with the update row (last-write-wins within the
@@ -212,12 +213,23 @@ def merge(
     matched → insert. Returns the committed version. Retries on
     concurrent-writer conflicts.
 
+    ``conditional=True`` is the ``WHEN MATCHED AND s.order > t.order``
+    form: a matched TARGET row survives unless the update row wins by
+    ``order_col`` (ties → update, keeping replays idempotent). This
+    makes last-write-wins hold ACROSS merges — an out-of-order batch
+    arriving after a newer one cannot regress a key — which is what a
+    multi-micro-batch streaming upsert needs (intra-batch LWW alone is
+    last-PROCESSED-wins under reordering). Requires the ordering
+    column(s) to be real table columns and ``evolve_schema=False``.
+
     Schema contract: an EMPTY table bootstraps with the updates frame's
     full schema — including the ordering column(s), which become real
     table columns from then on. Keep synthetic ordering helpers out of
     bootstrap batches (seed via ``_write_seed`` first, as
     ``upsert_merge_tx`` does) unless the ordering column is genuine data
     (as ``ts``/``event_id`` are in the streaming lane)."""
+    if conditional and evolve_schema:
+        raise ValueError("conditional merge does not support evolve_schema")
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -254,6 +266,62 @@ def merge(
             base_files = _read_manifest(table_dir, base_version)
             keep_files = [f for f in base_files if f not in affected]
             new_files = []
+            if conditional:
+                missing = [c for c in order_cols if c not in target.columns]
+                if missing:
+                    raise ValueError(
+                        "conditional merge needs the ordering column(s) in "
+                        f"the table schema; missing: {missing!r}"
+                    )
+                # WHEN MATCHED AND update wins by order_col: union the
+                # affected files' rows with the update rows and keep ONE
+                # winner per key — target rows with no match and updates
+                # with no target row are alone in their window, so
+                # survivor carry-through and inserts fall out of the same
+                # expression. _src breaks order ties toward the update
+                # (replay idempotency).
+                existing = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*sorted(affected))
+                    .withColumn("_src", F.lit(0))
+                    if affected
+                    else None
+                )
+                upd_rows = dedup.select(*target.columns).withColumn(
+                    "_src", F.lit(1)
+                )
+                combined = (
+                    upd_rows
+                    if existing is None
+                    else existing.unionByName(upd_rows)
+                )
+                w_win = Window.partitionBy(*key_cols).orderBy(
+                    *[F.col(c).desc() for c in order_cols],
+                    F.col("_src").desc(),
+                )
+                winners = (
+                    combined.withColumn("_rn", F.row_number().over(w_win))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", "_src")
+                )
+                fs, st = _write_data_file(winners, table_dir, stats_col)
+                new_files += fs
+                new_stats.update(st)
+                try:
+                    _try_commit(
+                        table_dir,
+                        base_version + 1,
+                        keep_files + new_files,
+                        stats_col=stats_col,
+                        stats={
+                            **_keep_stats(base_commit, keep_files),
+                            **new_stats,
+                        },
+                    )
+                    return base_version + 1
+                except VersionConflict:
+                    _discard_files(new_files)
+                    continue
             if affected:
                 # mergeSchema, same as snapshot()/_rewrite_where: after an
                 # evolve_schema commit an affected set can mix pre- and
@@ -356,7 +424,12 @@ def _write_seed(
     return current_version(table_dir)
 
 
-def merge_batch_writer(table_dir: str, key_cols: list[str], order_col: str):
+def merge_batch_writer(
+    table_dir: str,
+    key_cols: list[str],
+    order_col,
+    conditional: bool = False,
+):
     """foreachBatch sink that routes each micro-batch through the
     transactional MERGE — the streaming form of the reference's DynamoDB
     upsert (estimate_queue.py:166-178) with real transactionality.
@@ -380,6 +453,7 @@ def merge_batch_writer(table_dir: str, key_cols: list[str], order_col: str):
             batch_df,
             key_cols=key_cols,
             order_col=order_col,
+            conditional=conditional,
         )
 
     return apply
@@ -415,6 +489,11 @@ def run_streaming_merge(
             key_cols=["user_id", "event_type"],
             # event_id tie-break: equal-ts events must LWW deterministically
             order_col=["ts", "event_id"],
+            # conditional: LWW must hold ACROSS micro-batches too — an
+            # out-of-order batch cannot regress a key past a newer event
+            # already merged by an earlier batch (multi-batch drains are
+            # legal whatever the source's file/batch packing)
+            conditional=True,
         ),
     )
 
@@ -444,16 +523,30 @@ def run_streaming_merge(
     tags=("streaming", "sink", "merge", "upsert"),
 )
 def stream_merge_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = new_scratch_dir(f"stream_merge_{sf_tag}")
     ckpt = new_scratch_dir(f"stream_merge_ckpt_{sf_tag}")
-    run_streaming_merge(spark, sf_dir, table_dir, ckpt)
-    snap, _ = snapshot(spark, table_dir)
-    return detach_result(
-        snap.select("user_id", "event_type", "value", "ts", "event_id"),
-        table_dir,
-        ckpt,
-    )
+    try:
+        run_streaming_merge(spark, sf_dir, table_dir, ckpt)
+        snap, _ = snapshot(spark, table_dir)
+        if snap is None:  # empty source → nothing committed → empty result
+            return spark.createDataFrame(
+                [],
+                "user_id long, event_type string, value double, "
+                "ts timestamp, event_id long",
+            )
+        return detach_result(
+            snap.select("user_id", "event_type", "value", "ts", "event_id"),
+            table_dir,
+            ckpt,
+        )
+    finally:
+        # detach_result already removed these on the success path; this
+        # covers the empty-source return and mid-run exceptions
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # --- snapshot history: time travel + change data feed ------------------

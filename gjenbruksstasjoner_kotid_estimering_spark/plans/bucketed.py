@@ -60,17 +60,23 @@ def _build_bucketed_join(
         .cast("long")
         .alias("price_cents"),
     )
-    for df, name in ((orders, ob_name), (lineitem, lb_name)):
-        key = df.columns[0]
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .option("path", os.path.join(scratch, name))  # external: files
-            # live under scratch → crash leftovers age-GC'd
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+    try:
+        for df, name in ((orders, ob_name), (lineitem, lb_name)):
+            key = df.columns[0]
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", os.path.join(scratch, name))  # external:
+                # files live under scratch → crash leftovers age-GC'd
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    except BaseException:
+        # partial-failure hygiene: never leave a catalog entry pointing
+        # at a scratch path the age-GC will later delete from under it
+        _cleanup(s, [ob_name, lb_name], scratch)
+        raise
     ob = s.table(ob_name)
     lb = s.table(lb_name)
     joined = (
@@ -118,7 +124,9 @@ def _cleanup(s: SparkSession, tables: list[str], scratch: str) -> None:
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, joined, tables, scratch = _build_bucketed_join(spark, sf_dir)
     try:
-        return detach_result(joined, scratch)
+        # detach only (no dirs): _cleanup is the single owner of DROP +
+        # rmtree, in that order — never delete files under a live table
+        return detach_result(joined)
     finally:
         _cleanup(s, tables, scratch)
 

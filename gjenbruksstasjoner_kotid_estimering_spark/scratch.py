@@ -51,44 +51,44 @@ def scratch_root() -> str:
     return root
 
 
-def _newest_mtime(path: str) -> float:
-    """Newest mtime anywhere under ``path`` (the dir itself, every subdir,
-    every file). A directory's own mtime FREEZES once its layout stops
-    changing (e.g. a merge_tx table writing only inside ``data/`` and
-    ``_commits/``), so judging liveness by the top-level mtime alone
-    would reap a long-running invocation mid-run — the exact corruption
-    class this module exists to prevent. Fixture trees are small
-    (hundreds of entries), so the walk is cheap."""
-    newest = 0.0
-    try:
-        newest = os.path.getmtime(path)
-    except OSError:
-        return newest
+def _tree_older_than(path: str, cutoff: float) -> bool:
+    """True iff EVERY mtime under ``path`` (the dir itself, every subdir,
+    every file) is ≤ cutoff. A directory's own mtime FREEZES once its
+    layout stops changing (e.g. a merge_tx table writing only inside
+    ``data/`` and ``_commits/``), so judging liveness by the top-level
+    mtime alone would reap a long-running invocation mid-run — the exact
+    corruption class this module exists to prevent. Returns as soon as
+    one fresh entry is found, so the common live-dir case touches a
+    handful of entries, not the whole tree. Raises OSError if ``path``
+    itself is gone (caller treats that as already-collected, NOT as
+    ancient)."""
+    if os.path.getmtime(path) > cutoff:  # propagate OSError: path vanished
+        return False
     for dirpath, dirnames, filenames in os.walk(path):
         for name in dirnames + filenames:
             try:
-                newest = max(
-                    newest, os.path.getmtime(os.path.join(dirpath, name))
-                )
+                if os.path.getmtime(os.path.join(dirpath, name)) > cutoff:
+                    return False
             except OSError:
                 continue  # entry vanished mid-walk
-    return newest
+    return True
 
 
 def gc_scratch(max_age_seconds: float = MAX_AGE_SECONDS) -> list[str]:
     """Remove scratch dirs whose ENTIRE tree is older than
     ``max_age_seconds`` (crash leftovers); returns the removed paths.
     Liveness is the newest mtime in the tree, not the top dir's — see
-    :func:`_newest_mtime`. Safe to call concurrently —
+    :func:`_tree_older_than`. Safe to call concurrently —
     ``rmtree(ignore_errors=True)`` and the age guard make double-removal
-    and remove-while-live both harmless."""
+    and remove-while-live both harmless, and a dir another GC already
+    collected is skipped, not reported removed again."""
     root = scratch_root()
     cutoff = time.time() - max_age_seconds
     removed: list[str] = []
     for name in os.listdir(root):
         path = os.path.join(root, name)
         try:
-            if _newest_mtime(path) <= cutoff:
+            if _tree_older_than(path, cutoff):
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
         except OSError:

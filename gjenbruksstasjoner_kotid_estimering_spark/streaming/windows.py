@@ -287,9 +287,12 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly SELECT DISTINCT (which row of a key emits depends on "
     "processing order, so only the key columns are output — the "
     "deterministic contract). Batch twin with full-row semantics: "
-    "dedup_time_bounded. At 100 TB the hour component is what bounds "
-    "state: eviction follows the watermark, so memory is one horizon's "
-    "keys, not history's.",
+    "dedup_time_bounded. The watermark delay here EXCEEDS the fixture's "
+    "time span, so no state evicts and no late row drops mid-drain — "
+    "the drained set equals SELECT DISTINCT under ANY micro-batch "
+    "packing of the source, not just a single-batch drain. At 100 TB "
+    "you size the delay to the lateness SLA instead and state is one "
+    "horizon's keys, not history's — same operator, different knob.",
     tags=("streaming", "dedup", "watermark"),
 )
 def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +301,8 @@ def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     deduped = (
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
-        .withWatermark("hour", WM_DELAY)
+        # horizon > data span: exact global dedup whatever the batching
+        .withWatermark("hour", "3650 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
         .select("user_id", "event_type", "hour")
     )

@@ -702,3 +702,37 @@ def test_sql_surface_version_and_changes(spark, tmp_path):
     assert [(r.k, r.v, r._change_type, r._commit_version) for r in rows] == [
         (2, 222, "update", 2)
     ]
+
+
+def test_conditional_merge_out_of_order_batches(spark, tmp_path):
+    """Round-5 review: LWW must hold ACROSS merges, not just within a
+    batch. With conditional=True, a later batch carrying an OLDER
+    ordering value cannot regress a key; an equal ordering value (replay)
+    idempotently re-applies; a newer one wins."""
+    t = str(tmp_path / "cond")
+    b1 = spark.createDataFrame(
+        [(1, 100, 10), (2, 200, 10)], schema="k long, v long, o long"
+    )
+    mt.merge(spark, t, b1, ["k"], "o", conditional=True)  # bootstrap
+    # batch 2 arrives LATE: older o for k=1, newer for k=2, new key 3
+    b2 = spark.createDataFrame(
+        [(1, 111, 5), (2, 222, 20), (3, 333, 7)],
+        schema="k long, v long, o long",
+    )
+    mt.merge(spark, t, b2, ["k"], "o", conditional=True)
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: (r.v, r.o) for r in snap.collect()}
+    assert rows[1] == (100, 10)  # stale update rejected
+    assert rows[2] == (222, 20)  # newer update applied
+    assert rows[3] == (333, 7)  # unmatched → insert
+    # exact replay of batch 2 is a no-op on state (ties → update wins,
+    # same values either way)
+    mt.merge(spark, t, b2, ["k"], "o", conditional=True)
+    snap, _ = mt.snapshot(spark, t)
+    assert {r.k: (r.v, r.o) for r in snap.collect()} == rows
+    # ordering column must exist in the table schema
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, 1, 1)], schema="k long, v long, x long")
+    with _pytest.raises(ValueError, match="ordering column"):
+        mt.merge(spark, t, bad, ["k"], "x", conditional=True)
