@@ -736,3 +736,28 @@ def test_conditional_merge_out_of_order_batches(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1, 1)], schema="k long, v long, x long")
     with _pytest.raises(ValueError, match="ordering column"):
         mt.merge(spark, t, bad, ["k"], "x", conditional=True)
+
+
+def test_merge_batch_writer_out_of_order_microbatches(spark, tmp_path):
+    """The streaming sink's exact configuration (merge_batch_writer with
+    conditional=True, as run_streaming_merge wires it): micro-batches
+    applied in the wrong event-time order still converge to global
+    latest-per-key — the property stream_merge_sink_true's oracle
+    assumes under arbitrary batch packing."""
+    t = str(tmp_path / "oob_sink")
+    writer = mt.merge_batch_writer(
+        t, key_cols=["k"], order_col=["ts", "eid"], conditional=True
+    )
+    newer = spark.createDataFrame(
+        [(1, 100, 20, 2), (2, 200, 20, 2)], schema="k long, v long, ts long, eid long"
+    )
+    older = spark.createDataFrame(
+        [(1, 111, 10, 1), (3, 333, 10, 1)], schema="k long, v long, ts long, eid long"
+    )
+    writer(newer, 0)  # batch 0 carries the NEWER events
+    writer(older, 1)  # batch 1 arrives later but is event-time OLDER
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: (r.v, r.ts) for r in snap.collect()}
+    assert rows[1] == (100, 20)  # stale batch could not regress k=1
+    assert rows[2] == (200, 20)
+    assert rows[3] == (333, 10)  # genuinely new key still inserted
