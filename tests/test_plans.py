@@ -300,3 +300,30 @@ def test_bucketed_registry_join_no_exchange_below_join(spark):
     plan = bucketed_join_plan(spark, SF)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan  # the 5-group agg only
+
+
+def test_top_paths_uses_take_ordered(spark):
+    # global top-20 must be TakeOrdered (partial per partition), never a
+    # full sort of every path
+    plan = _plan(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_running_distinct_exchange_budget(spark):
+    # first-occurrence window, daily agg, cumulative window: the
+    # (event_type, user_id) window partitioning must not add extra
+    # exchanges beyond the three key changes
+    import re
+
+    plan = _plan(spark, "window_running_distinct")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3, plan
+
+
+def test_collation_group_is_two_phase(spark):
+    # collated keys are not hash-aggregatable (SortAggregate is expected),
+    # but the aggregation must still be TWO-PHASE: a map-side partial
+    # before the exchange, so the shuffle moves groups, not rows
+    plan = _plan(spark, "string_collation_ci")
+    assert "partial_count" in plan
+    assert plan.count("SortAggregate") >= 2
