@@ -220,7 +220,18 @@ def merge(
     arriving after a newer one cannot regress a key — which is what a
     multi-micro-batch streaming upsert needs (intra-batch LWW alone is
     last-PROCESSED-wins under reordering). Requires the ordering
-    column(s) to be real table columns and ``evolve_schema=False``.
+    column(s) to be real table columns.
+
+    ``conditional=True, evolve_schema=True`` composes the two: update
+    batches may carry NEW payload columns (the reference's upsert builds
+    its UpdateExpression from whatever keys arrive —
+    estimate_queue.py:166-178 — so evolving payloads ARE the reference
+    semantics). Affected-file target rows that predate the evolution
+    read the new columns as NULL; winner selection is whole-row by
+    ``order_col``, so a STALE update can neither regress existing
+    columns nor inject its evolved-column value over a newer target row.
+    Survivor (unaffected) files keep their narrow schema — snapshot()
+    reads with mergeSchema.
 
     Schema contract: an EMPTY table bootstraps with the updates frame's
     full schema — including the ordering column(s), which become real
@@ -228,8 +239,6 @@ def merge(
     bootstrap batches (seed via ``_write_seed`` first, as
     ``upsert_merge_tx`` does) unless the ordering column is genuine data
     (as ``ts``/``event_id`` are in the streaming lane)."""
-    if conditional and evolve_schema:
-        raise ValueError("conditional merge does not support evolve_schema")
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -254,6 +263,20 @@ def merge(
             )
             keep_files: list[str] = []
         else:
+            # Type stability: evolution is ADD-COLUMN only. Update values
+            # for EXISTING table columns are coerced to the table's
+            # declared types — otherwise a type-drifting batch (e.g. long
+            # updates on an int column) would commit a manifest mixing
+            # parquet files with conflicting types for one column, and
+            # every later mergeSchema read of that version throws
+            # CANNOT_MERGE_SCHEMAS (version corruption).
+            _tt = {f.name: f.dataType for f in target.schema.fields}
+            dedup = dedup.select(
+                *[
+                    F.col(c).cast(_tt[c]).alias(c) if c in _tt else F.col(c)
+                    for c in dedup.columns
+                ]
+            )
             keys = dedup.select(*key_cols)
             tagged = target.withColumn("_file", F.input_file_name())
             affected = {
@@ -287,13 +310,26 @@ def merge(
                     if affected
                     else None
                 )
-                upd_rows = dedup.select(*target.columns).withColumn(
-                    "_src", F.lit(1)
-                )
+                if evolve_schema:
+                    # conditional + evolution: update batches may carry
+                    # new payload columns; pre-evolution target rows get
+                    # them as NULL via allowMissingColumns.
+                    new_cols = [
+                        c for c in dedup.columns if c not in target.columns
+                    ]
+                    upd_rows = dedup.select(
+                        *target.columns, *new_cols
+                    ).withColumn("_src", F.lit(1))
+                else:
+                    upd_rows = dedup.select(*target.columns).withColumn(
+                        "_src", F.lit(1)
+                    )
                 combined = (
                     upd_rows
                     if existing is None
-                    else existing.unionByName(upd_rows)
+                    else existing.unionByName(
+                        upd_rows, allowMissingColumns=evolve_schema
+                    )
                 )
                 w_win = Window.partitionBy(*key_cols).orderBy(
                     *[F.col(c).desc() for c in order_cols],
@@ -618,14 +654,19 @@ def changes_between(
     payload += [
         c for c in b.columns if c not in key_cols and c not in payload
     ]
+    # Unified type per column: v_to (the newer schema) wins for columns
+    # present in both sides, so TYPE-CHANGING evolution (e.g. int→long)
+    # compares and emits post-images in the evolved type instead of
+    # producing mismatched struct types in the full_outer join.
     types = {f.name: f.dataType for f in a.schema.fields}
-    types.update({f.name: f.dataType for f in b.schema.fields if f.name not in types})
+    types.update({f.name: f.dataType for f in b.schema.fields})
 
     def side(df: DataFrame, alias: str):
-        # typed NULL (not bare lit(None)) so both sides' structs share one
-        # type and the row comparison needs no coercion
+        # EVERY column cast to the unified type (typed NULL when absent)
+        # so both sides' structs share one type and the row comparison
+        # needs no coercion
         cols = [
-            F.col(c)
+            F.col(c).cast(types[c]).alias(c)
             if c in df.columns
             else F.lit(None).cast(types[c]).alias(c)
             for c in payload
@@ -738,10 +779,14 @@ _VERSIONED_STATES_SQL = """
                CAST(sum(cents) AS BIGINT) AS acctbal_sum_cents
         FROM base
         UNION ALL
-        SELECT 2, count(*), count(*) FILTER (WHERE merged), sum(cents)
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
         FROM v2
         UNION ALL
-        SELECT 3, count(*), count(*) FILTER (WHERE merged), sum(cents)
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
         FROM v3
     """,
     doc="Time travel over the transactional MERGE table: seed (v1) + two "
@@ -1162,6 +1207,110 @@ def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap, _ = snapshot(spark, table_dir)
     return detach_result(
         snap.select("c_custkey", "acctbal_cents", "merged", "n_orders"),
+        table_dir,
+    )
+
+
+@register(
+    "merge_tx_evolve_conditional",
+    oracle="""
+        WITH upd5 AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 5 = 0
+            GROUP BY o_custkey
+        ),
+        upd7 AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               CASE
+                   WHEN u5.c_custkey IS NOT NULL THEN u5.cents
+                   WHEN u7.c_custkey IS NOT NULL THEN u7.cents
+                   ELSE CAST(round(c.c_acctbal * 100) AS BIGINT)
+               END AS acctbal_cents,
+               CAST(CASE
+                   WHEN u5.c_custkey IS NOT NULL THEN 2
+                   WHEN u7.c_custkey IS NOT NULL THEN 1
+                   ELSE 0
+               END AS BIGINT) AS ts,
+               CASE WHEN u5.c_custkey IS NULL
+                    THEN u7.n_orders END AS n_orders
+        FROM customer c
+        LEFT JOIN upd5 u5 USING (c_custkey)
+        LEFT JOIN upd7 u7 USING (c_custkey)
+    """,
+    doc="Conditional MERGE composed with ADD-COLUMN schema evolution "
+    "(the round-5 gap: merge() used to raise on the combination). The "
+    "reference's upsert builds its UpdateExpression from whatever keys "
+    "arrive (estimate_queue.py:166-178), so evolving payloads under "
+    "cross-merge last-write-wins ARE the reference semantics. Fixture: "
+    "seed customer balances at ts=0; conditional-merge custkey%5 "
+    "balances at ts=2; then conditional+evolve merge custkey%7 at ts=1 "
+    "carrying a NEW n_orders column. Keys divisible by 35 prove the "
+    "stale-rejection contract on the EVOLVED column: the ts=1 update "
+    "loses to the ts=2 target row, so it neither regresses the balance "
+    "nor injects n_orders — hence the oracle's n_orders is NULL "
+    "whenever upd5 matched. Survivor files keep their narrow schema "
+    "(mergeSchema read).",
+    tags=("sink", "merge", "transaction", "schema", "evolution"),
+)
+def merge_tx_evolve_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_evocond_{sf_tag}")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    _write_seed(spark, table_dir, base)
+
+    def upd(mod: int, ts: int) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_custkey") % mod == 0)
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("acctbal_cents"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .withColumn("ts", F.lit(ts).cast("long"))
+        )
+
+    # newer batch first: custkey%5 at ts=2 (no evolution — n_orders dropped
+    # by the fixed-schema projection since evolve_schema=False)
+    merge(
+        spark,
+        table_dir,
+        upd(5, 2).drop("n_orders"),
+        key_cols=["c_custkey"],
+        order_col="ts",
+        conditional=True,
+    )
+    # older batch second, carrying the NEW column: conditional + evolve.
+    # Keys %35 must keep the ts=2 balance AND stay NULL in n_orders.
+    merge(
+        spark,
+        table_dir,
+        upd(7, 1),
+        key_cols=["c_custkey"],
+        order_col="ts",
+        conditional=True,
+        evolve_schema=True,
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "ts", "n_orders"),
         table_dir,
     )
 

@@ -47,11 +47,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_equal(a, b) -> bool:
+    """Exact cell comparison, dtype-strict across the int/float divide.
+
+    The driver hashes canonicalized cell reprs, so an int64 Spark column vs
+    a float64 oracle column (e.g. DuckDB HUGEINT from sum(BIGINT) rendered
+    as float) fails the driver even when the values are numerically equal.
+    Coercing both sides through float() here would mask exactly that class
+    (it hid the r4/r5 merge_tx_time_travel red row) — so integer-vs-float
+    pairs are a mismatch, full stop.
+    """
     if repr(a) == repr(b):
         return True
     try:
         if pd.isna(a) and pd.isna(b):
             return True
+    except (TypeError, ValueError):
+        return False
+    a_int = isinstance(a, (int,)) or type(a).__name__.startswith(("int", "uint"))
+    b_int = isinstance(b, (int,)) or type(b).__name__.startswith(("int", "uint"))
+    if a_int != b_int:
+        return False  # int-vs-float dtype drift: driver hash would differ
+    if a_int and b_int:
+        return int(a) == int(b)
+    try:
         return float(a) == float(b) or repr(float(a)) == repr(float(b))
     except (TypeError, ValueError):
         return False

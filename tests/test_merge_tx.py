@@ -761,3 +761,76 @@ def test_merge_batch_writer_out_of_order_microbatches(spark, tmp_path):
     assert rows[1] == (100, 20)  # stale batch could not regress k=1
     assert rows[2] == (200, 20)
     assert rows[3] == (333, 10)  # genuinely new key still inserted
+
+
+def test_conditional_evolve_stale_update_rejected_on_evolved_column(
+    spark, tmp_path
+):
+    """Round-6: conditional MERGE composed with ADD-COLUMN evolution.
+    A STALE update carrying the evolved column must lose whole-row: it
+    neither regresses existing columns nor injects its evolved-column
+    value over the newer target row."""
+    t = str(tmp_path / "evocond")
+    b1 = spark.createDataFrame(
+        [(1, 100, 10), (2, 200, 10)], schema="k long, v long, o long"
+    )
+    mt.merge(spark, t, b1, ["k"], "o", conditional=True)  # bootstrap
+    # evolving batch: new column 'extra'; stale for k=1, fresh for k=2,
+    # insert for k=3
+    b2 = spark.createDataFrame(
+        [(1, 111, 5, 9), (2, 222, 20, 8), (3, 333, 7, 7)],
+        schema="k long, v long, o long, extra long",
+    )
+    mt.merge(spark, t, b2, ["k"], "o", conditional=True, evolve_schema=True)
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: (r.v, r.o, r.extra) for r in snap.collect()}
+    assert rows[1] == (100, 10, None)  # stale: balance kept, NO extra
+    assert rows[2] == (222, 20, 8)  # fresh: evolved column lands
+    assert rows[3] == (333, 7, 7)  # insert carries evolved column
+    # a later conditional merge WITHOUT the evolved column still works
+    # (fixed-schema projection requires all table cols — so pass them)
+    b3 = spark.createDataFrame(
+        [(1, 150, 30, None)], schema="k long, v long, o long, extra long"
+    )
+    mt.merge(spark, t, b3, ["k"], "o", conditional=True)
+    snap, _ = mt.snapshot(spark, t)
+    assert {r.k: (r.v, r.o) for r in snap.collect()}[1] == (150, 30)
+
+
+def test_merge_coerces_type_drifting_updates(spark, tmp_path):
+    """Round-6 (ADVICE follow-through): evolution is ADD-COLUMN only.
+    A batch whose EXISTING-column type drifts (long updates on an int
+    column) must be coerced to the table's declared type — otherwise the
+    commit would mix int and long parquet files in one manifest and
+    every later mergeSchema read throws CANNOT_MERGE_SCHEMAS."""
+    t = str(tmp_path / "typedrift")
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], schema="k long, v int")
+    mt._write_seed(spark, t, v1)
+    upd = spark.createDataFrame(
+        [(2, 21, 1), (3, 30, 1)], schema="k long, v long, _ord long"
+    )
+    mt.merge(spark, t, upd, ["k"], "_ord", evolve_schema=True)
+    snap, _ = mt.snapshot(spark, t)  # would throw pre-fix
+    assert dict(snap.dtypes)["v"] == "int"  # table type wins
+    assert {r.k: r.v for r in snap.collect()} == {1: 10, 2: 21, 3: 30}
+
+
+def test_changes_between_type_changing_versions(spark, tmp_path):
+    """Round-6 (ADVICE): changes_between across versions whose shared
+    column changed type (int v1, long v2 — e.g. a table rebuilt by an
+    external writer) must not blow up the full_outer struct comparison;
+    post-images come back in the newer (v_to) type."""
+    t = str(tmp_path / "typeevo")
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], schema="k long, v int")
+    mt._write_seed(spark, t, v1)
+    v2 = spark.createDataFrame(
+        [(1, 10), (2, 21), (3, 30)], schema="k long, v long"
+    )
+    files, stats = mt._write_data_file(v2, t, None)
+    mt._try_commit(t, 2, files, stats_col=None, stats=stats)
+    cdf = mt.changes_between(spark, t, ["k"], 1, 2)
+    rows = {r.k: (r.change_type, r.v) for r in cdf.collect()}
+    assert rows[2] == ("update", 21)
+    assert rows[3] == ("insert", 30)
+    assert 1 not in rows  # unchanged (int 10 == long 10 after unification)
+    assert dict(cdf.dtypes)["v"] == "bigint"

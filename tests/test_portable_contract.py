@@ -94,3 +94,39 @@ def test_epoch_us_matches_duckdb(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
     want = dict(con.execute("SELECT i, epoch_us(ts) FROM t").fetchall())
     assert got == want
+
+
+def test_no_oracle_emits_hugeint_or_wide_decimal():
+    """Sweep every oracle's OUTPUT types through DuckDB's binder.
+
+    DuckDB types sum(BIGINT) as HUGEINT and wide decimal aggregates as
+    DECIMAL(38,x); both convert to float64 (or object) in pandas, so the
+    driver's value-hash can never match Spark's int64 even when the values
+    are equal — the r4/r5 merge_tx_time_travel red row. Plan-only (.types
+    binds without executing), so this sweeps all ~180 oracles in seconds.
+    """
+    import os
+
+    from gjenbruksstasjoner_kotid_estimering_spark import registry
+    from gjenbruksstasjoner_kotid_estimering_spark.io import TABLES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = []
+    for name, spec in sorted(registry.all_specs().items()):
+        if spec.oracle is None:
+            continue
+        types = con.sql(spec.oracle).types
+        for col, typ in zip(con.sql(spec.oracle).columns, types):
+            t = str(typ).upper()
+            wide_decimal = t.startswith("DECIMAL(") and int(
+                t.split("(")[1].split(",")[0]
+            ) > 18
+            if t in ("HUGEINT", "UHUGEINT") or wide_decimal:
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle columns that pandas will widen to float64/object "
+        f"(add explicit CASTs): {offenders}"
+    )
