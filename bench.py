@@ -100,6 +100,12 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "errors": errors,
+        # The warm-up set runs untimed BEFORE the sweep, so exactly these
+        # queries carry a JIT/cache advantage in their timed entries —
+        # cross-query comparisons against them are skewed by design (the
+        # warm-up exists to stabilize the TOTAL across rounds). Recorded
+        # here so per-query readers can discount them.
+        "prewarmed": sorted(n for n in warmup if n in specs),
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")

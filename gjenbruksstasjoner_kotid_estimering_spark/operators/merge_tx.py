@@ -500,6 +500,7 @@ def run_streaming_merge(
     sf_dir: str,
     table_dir: str,
     checkpoint_dir: str,
+    reader=None,
 ) -> None:
     """One-shot streaming drain of the events source into a MERGE-managed
     table keyed by (user_id, event_type): the latest event per key wins
@@ -519,7 +520,7 @@ def run_streaming_merge(
         table_dir,  # unused by the foreachBatch sink, kept for contract
         checkpoint_dir,
         transform=transform,
-        reader=read_events_stream,
+        reader=reader or read_events_stream,
         foreach_batch=merge_batch_writer(
             table_dir,
             key_cols=["user_id", "event_type"],

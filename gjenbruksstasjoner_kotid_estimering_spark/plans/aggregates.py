@@ -119,6 +119,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_distinct_exact_vs_approx",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="The oracle-checkable half of the approx-distinct pair: the same "
+    "single pre-deduplicated pass agg_approx_distinct runs, emitting "
+    "only the EXACT per-flag distinct count so the hash gate covers the "
+    "dedup+count plan numerically. The HLL estimate it travels with is "
+    "accounted for separately by a bounded-relative-error pytest "
+    "(tests/test_analytics.py::test_approx_distinct_error_bound, <5% at "
+    "rsd=0.02) — closing the 'approx ops have no numeric accountability' "
+    "gap without pretending sketches are bit-portable across engines.",
+    tags=("agg", "distinct", "approx"),
+)
+def agg_distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,

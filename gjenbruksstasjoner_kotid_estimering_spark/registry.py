@@ -55,90 +55,83 @@ def register(
 
 
 # The driver's correctness sweep walks ``queries()`` in dict-insertion
-# order under a ~50-query-per-round budget. Round-5 ordering policy
-# (VERDICT r4 items 1-2, 6): (a) the two round-4 driver blemishes first so
-# their fixes get fresh driver rows (merge_tx_time_travel — the flaky red,
-# now hermetic; embedding_pq_codes — canonicalizer crash, now packed
-# BIGINT), plus their protocol siblings; (b) queries NEW this round;
-# (c) re-verification rotation by OLDEST driver evidence — all of the
-# r1-last-seen block, then the head of the r2-last-seen block — so no
-# green row goes more than a few rounds stale on the current codebase.
+# order under a ~50-query-per-round budget. Round-6 ordering policy
+# (VERDICT r5 items 1, 4, 6): (a) the one red row first — the
+# merge_tx_time_travel ORACLE dtype bug (DuckDB HUGEINT→float64 vs Spark
+# int64) is fixed by CASTing its UNION ALL branches to BIGINT, so its
+# re-sample should finally go green; (b) queries NEW this round plus the
+# two newest true-streaming rows the judge asked to re-sample after the
+# adversarial multi-batch soak (tests/test_streaming_soak.py);
+# (c) re-verification rotation by OLDEST driver evidence — the nine
+# r1-last-seen stragglers, then the whole r2-last-seen block — so after
+# this round no key's newest evidence predates r3 (modulo the ~50 budget).
 _PRIORITY: tuple[str, ...] = (
-    # (a) round-4 blemishes, re-verify first
+    # (a) the round-4/5 red row — oracle fixed this round
     "merge_tx_time_travel",
-    "embedding_pq_codes",
-    "merge_tx_changes",
-    "merge_tx_schema_evolution",
-    "sink_python_datasource",
-    "stream_error_followup_join",
-    "stream_stateful_tracker",
-    # (b) new this round — never driver-seen
-    "image_pipeline_stats",
-    "join_bucketed_colocated",
-    "events_top_paths",
-    "stream_tumbling_window_true",
-    "stream_session_window_true",
-    "window_running_distinct",
-    "scan_xml_roundtrip",
-    "scan_orc_roundtrip",
-    "sql_ddl_roundtrip",
+    # (b) new this round + judge-requested streaming re-samples
+    "merge_tx_evolve_conditional",
+    "agg_distinct_exact_vs_approx",
     "stream_dedup_true",
     "stream_merge_sink_true",
-    "string_collation_ci",
-    # (c) rotation: evidence last refreshed in round 1 (40 names) ...
-    "unpivot_melt",
-    "agg_stats_exact",
-    "sample_stratified",
-    "agg_collect",
-    "text_token_counts",
-    "text_quality",
-    "text_lang_agg",
-    "text_langid",
-    "text_bpe_tokens",
-    "posexplode_tokens",
-    "regex_extract_all_tokens",
-    "corpus_prep_pipeline",
-    "join_inner",
-    "join_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_range",
-    "join_full_outer",
-    "subquery_scalar",
-    "join_right_outer",
-    "scan_project",
-    "scan_limit1",
-    "filter_predicates",
-    "range_filter",
-    "scalar_math_projection",
-    "derived_arithmetic",
-    "case_when_threshold",
-    "conditional_projection",
-    "string_funcs",
-    "string_regexp_replace",
-    "regex_extract_timestamp",
+    # (c) rotation: newest driver evidence r1 (9 names)
+    "date_arith",
     "decimal_cast",
     "json_extract",
-    "sort_multi",
-    "null_funcs",
-    "date_arith",
-    "try_funcs",
     "json_struct_parse",
+    "null_funcs",
+    "regex_extract_timestamp",
+    "sort_multi",
     "string_funcs2",
-    # ... then the head of the round-2 block (the rest rotates in r6)
-    "set_union",
+    "try_funcs",
+    # ... then the whole r2-last-seen block (48 names)
+    "agg_approx_quantile",
+    "agg_histogram",
+    "agg_hll_sketch",
+    "agg_median_mode",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "array_funcs",
+    "array_predicates",
     "asof_interp_join",
-    "queue_estimate",
-    "join_asof_nearest",
-    "upsert_last_write_wins",
-    "upsert_sink_shape",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_near_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "explode_unpivot",
+    "join_asof_nearest",
+    "join_lateral",
+    "join_salted_skew",
+    "map_funcs",
+    "queue_estimate",
+    "set_intersect_except",
+    "set_union",
+    "set_union_all",
+    "similarity_pairs_lsh",
     "similarity_topk",
+    "stream_tumbling_window",
+    "struct_map_funcs",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "udaf_grouped_stats",
+    "udtf_bigrams",
+    "upsert_last_write_wins",
+    "upsert_sink_shape",
+    "window_first_last_nth",
+    "window_frame_agg",
+    "window_lag_lead",
+    "window_ntile",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_rank",
 )
 
 

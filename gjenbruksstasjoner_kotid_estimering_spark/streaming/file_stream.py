@@ -51,23 +51,43 @@ def use_rocksdb_state(spark: SparkSession) -> SparkSession:
 
 def raw_events_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """On-disk schema (ts arrives as long nanos under nanosAsLong — the
-    stream source schema must match the file, not the cleaned table)."""
-    return spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream source schema must match the file, not the cleaned table).
+
+    Falls back to reading whatever parquet lives in the directory when
+    the canonical single-file layout is absent — soak fixtures split
+    events across several files in a flat dir."""
+    import os
+
+    p = table_path(sf_dir, "events")
+    if not os.path.exists(p):
+        return spark.read.parquet(sf_dir).schema
+    return spark.read.parquet(p).schema
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-arrival micro-batch source over the events directory.
 
     The file source needs a *directory* to watch (new files under it become
     micro-batches); the testdata lays one parquet file per table in a shared
     dir, so watch the dir with a glob pinned to the events file. The nanos
     ts is rebuilt to a µs timestamp post-scan, mirroring io.load_table.
+
+    ``glob``/``max_files_per_trigger`` let soak tests drive the SAME
+    reader over a multi-file copy of events with one file per
+    micro-batch — the adversarial packing that proves LWW/watermark
+    claims hold across many batches, not just the single-file drain.
     """
-    stream = (
-        spark.readStream.schema(raw_events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_events_schema(spark, sf_dir)).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     # Same timestamp normalization as io.load_table: ts has arrived as long
     # nanos (round-1 testdata) and as TIMESTAMP_NTZ (round-2+ testdata);
     # watermarks/window() require plain TIMESTAMP.

@@ -154,6 +154,14 @@ def _drain_to_memory(
         q.awaitTermination()
         out = spark.table(name).localCheckpoint(eager=True)
     finally:
+        # stop FIRST: if awaitTermination or the table read raised, the
+        # query may still be active — dropping its sink view and deleting
+        # the checkpoint underneath a live query would leak it in a
+        # corrupted state (round-6 ADVICE).
+        try:
+            q.stop()
+        except Exception:
+            pass
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out

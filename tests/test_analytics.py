@@ -282,3 +282,24 @@ def test_recursive_hierarchy_structure(spark):
             assert r.depth == parent.depth + 1
             assert r.root_id == parent.root_id
             assert r.path == f"{parent.path}/{uid}"
+
+
+def test_approx_distinct_error_bound(spark):
+    """Round-6: numeric accountability for the HLL estimate. At
+    rsd=0.02 the relative error of approx_count_distinct against the
+    exact per-group distinct count must stay under 5% (2.5 sigma) on
+    real data at sf0.001 and sf0.01."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pairs = (
+            load_table(spark, sf, "lineitem")
+            .select("l_returnflag", "l_partkey")
+            .distinct()
+        )
+        rows = pairs.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        ).collect()
+        assert rows
+        for r in rows:
+            rel = abs(r.approx - r.exact) / r.exact
+            assert rel < 0.05, f"{sf} {r.l_returnflag}: rel err {rel:.3f}"

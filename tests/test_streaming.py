@@ -254,3 +254,49 @@ def test_corpus_ingest_replay_same_batch_id_does_not_duplicate(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1 + min(
         5, batch.dropDuplicates(["fp"]).count()
     )
+
+
+def test_true_window_fixtures_avoid_watermark_boundary_cases():
+    """Round-6 (ADVICE): the stream_{tumbling,session}_window_true
+    oracles encode EXACT boundary equality (window end <= max(ts) - 30
+    min; session break strictly > 30 min). Spark's append-mode eviction
+    and session-merge comparisons can differ from the oracle exactly at
+    equality, so this guard asserts the boundary cases are ABSENT from
+    every fixture: if regenerated testdata ever lands on one, this test
+    flags it before the driver's hash gate flips red data-dependently."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        con = duckdb.connect()
+        # watermark must not land exactly on a 10-minute window end
+        (off,) = con.execute(
+            f"""
+            SELECT epoch(max(ts) - INTERVAL 30 MINUTE)::BIGINT % 600
+            FROM read_parquet('{path}')
+            """
+        ).fetchone()
+        assert off != 0, f"{sf}: watermark lands on a tumbling boundary"
+        # no per-user gap of exactly 30 minutes (session break equality)
+        (n_exact,) = con.execute(
+            f"""
+            WITH o AS (
+              SELECT user_id, ts,
+                     ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS gap
+              FROM read_parquet('{path}')
+            )
+            SELECT count(*) FROM o WHERE gap = INTERVAL 30 MINUTE
+            """
+        ).fetchone()
+        assert n_exact == 0, f"{sf}: {n_exact} exact 30-min session gaps"
+        # no session end (last event + 30 min) exactly at the watermark:
+        # equivalent to an event at max(ts) - 60 min that ends a session
+        (n_wm,) = con.execute(
+            f"""
+            SELECT count(*) FROM read_parquet('{path}')
+            WHERE ts = (SELECT max(ts) - INTERVAL 60 MINUTE
+                        FROM read_parquet('{path}'))
+            """
+        ).fetchone()
+        assert n_wm == 0, f"{sf}: session end can land on the watermark"
