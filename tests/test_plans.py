@@ -327,3 +327,18 @@ def test_collation_group_is_two_phase(spark):
     plan = _plan(spark, "string_collation_ci")
     assert "partial_count" in plan
     assert plan.count("SortAggregate") >= 2
+
+
+def test_exact_vs_approx_distinct_no_expand(spark):
+    """agg_distinct_exact_vs_approx must keep the pre-deduplicated
+    single-pass shape: the dedup groupBy gets map-side partial
+    aggregation and the per-flag count follows — no Expand operator
+    (the multi-distinct plan shape whose shuffle carries raw rows)."""
+    plan = _plan(spark, "agg_distinct_exact_vs_approx")
+    assert "Expand" not in plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    )
+    assert n_exchanges <= 2  # dedup shuffle + final agg shuffle
