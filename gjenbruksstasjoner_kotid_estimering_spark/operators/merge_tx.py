@@ -205,6 +205,8 @@ def merge(
     max_retries: int = 10,
     evolve_schema: bool = False,
     conditional: bool = False,
+    delete_condition=None,
+    sync_delete_scope=None,
 ) -> int:
     """MERGE INTO table_dir USING updates ON key_cols:
     matched → replace with the update row (last-write-wins within the
@@ -233,12 +235,35 @@ def merge(
     Survivor (unaffected) files keep their narrow schema — snapshot()
     reads with mergeSchema.
 
+    ``delete_condition`` is the ``WHEN MATCHED AND <cond> THEN DELETE``
+    clause (a pyspark Column over the UPDATE row's columns): a matched
+    target row whose winning update satisfies the condition is REMOVED
+    instead of replaced; an unmatched update satisfying it is a no-op
+    (never inserted), per the Delta/Iceberg matched-clause contract.
+    Composes with ``conditional=True``: a STALE delete row loses the
+    order_col window to the newer target row, so out-of-order deletes
+    cannot remove keys they no longer own — and a replayed delete is
+    idempotent (tie → clause re-applies to an already-absent key).
+
+    ``sync_delete_scope`` is ``WHEN NOT MATCHED BY SOURCE AND <scope>
+    THEN DELETE`` (a pyspark Column over TARGET rows): within the scope,
+    target rows whose keys are absent from the batch are removed — the
+    dimension-sync clause (Delta 3.x semantics; the scope keeps it from
+    degenerating into a full-table replace, and bounds the copy-on-write
+    rewrite to files containing scope rows). Not supported together
+    with ``conditional`` (cross-merge LWW has no per-target-row absence
+    ordering to compare).
+
     Schema contract: an EMPTY table bootstraps with the updates frame's
     full schema — including the ordering column(s), which become real
     table columns from then on. Keep synthetic ordering helpers out of
     bootstrap batches (seed via ``_write_seed`` first, as
     ``upsert_merge_tx`` does) unless the ordering column is genuine data
     (as ``ts``/``event_id`` are in the streaming lane)."""
+    if sync_delete_scope is not None and conditional:
+        raise ValueError(
+            "sync_delete_scope is not supported with conditional=True"
+        )
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
@@ -251,6 +276,11 @@ def merge(
     # updates are re-read per retry attempt; localCheckpoint so the
     # (possibly expensive) upstream plan runs once
     dedup = dedup.localCheckpoint(eager=True)
+    has_del = delete_condition is not None
+    if has_del:
+        # evaluated once, on the update row's own columns; carried as a
+        # plain flag so the winner window can see it
+        dedup = dedup.withColumn("_del", delete_condition)
 
     for _ in range(max_retries):
         target, base_version = snapshot(spark, table_dir)
@@ -258,8 +288,11 @@ def merge(
         stats_col = base_commit.get("stats_col")
         new_stats: dict = {}
         if target is None:
+            # bootstrap: no row can be "matched", so delete-clause rows
+            # are no-ops and never insert
+            boot = dedup.where(~F.col("_del")).drop("_del") if has_del else dedup
             new_files, new_stats = _write_data_file(
-                dedup, table_dir, stats_col
+                boot, table_dir, stats_col
             )
             keep_files: list[str] = []
         else:
@@ -286,6 +319,16 @@ def merge(
                 .distinct()
                 .collect()
             }
+            if sync_delete_scope is not None:
+                # every file holding a scope row may contain keys absent
+                # from the batch → those files must rewrite too
+                affected |= {
+                    _plain_path(r["_file"])
+                    for r in tagged.where(sync_delete_scope)
+                    .select("_file")
+                    .distinct()
+                    .collect()
+                }
             base_files = _read_manifest(table_dir, base_version)
             keep_files = [f for f in base_files if f not in affected]
             new_files = []
@@ -310,20 +353,25 @@ def merge(
                     if affected
                     else None
                 )
+                if has_del and existing is not None:
+                    existing = existing.withColumn("_del", F.lit(False))
+                del_cols = ["_del"] if has_del else []
                 if evolve_schema:
                     # conditional + evolution: update batches may carry
                     # new payload columns; pre-evolution target rows get
                     # them as NULL via allowMissingColumns.
                     new_cols = [
-                        c for c in dedup.columns if c not in target.columns
+                        c
+                        for c in dedup.columns
+                        if c not in target.columns and c != "_del"
                     ]
                     upd_rows = dedup.select(
-                        *target.columns, *new_cols
+                        *target.columns, *new_cols, *del_cols
                     ).withColumn("_src", F.lit(1))
                 else:
-                    upd_rows = dedup.select(*target.columns).withColumn(
-                        "_src", F.lit(1)
-                    )
+                    upd_rows = dedup.select(
+                        *target.columns, *del_cols
+                    ).withColumn("_src", F.lit(1))
                 combined = (
                     upd_rows
                     if existing is None
@@ -340,6 +388,10 @@ def merge(
                     .where(F.col("_rn") == 1)
                     .drop("_rn", "_src")
                 )
+                if has_del:
+                    # a WINNING delete row removes its key; a stale one
+                    # already lost the window to the newer target row
+                    winners = winners.where(~F.col("_del")).drop("_del")
                 fs, st = _write_data_file(winners, table_dir, stats_col)
                 new_files += fs
                 new_stats.update(st)
@@ -369,9 +421,22 @@ def merge(
                 survivors = spark.read.option("mergeSchema", "true").parquet(
                     *sorted(affected)
                 ).join(F.broadcast(keys), key_cols, "left_anti")
+                if sync_delete_scope is not None:
+                    # unmatched-by-source rows inside the scope are the
+                    # sync-delete set — everything else carries through.
+                    # NULL scope predicate = not in scope (row survives),
+                    # the SQL WHEN-clause convention.
+                    survivors = survivors.where(
+                        ~F.coalesce(sync_delete_scope, F.lit(False))
+                    )
                 fs, st = _write_data_file(survivors, table_dir, stats_col)
                 new_files += fs
                 new_stats.update(st)
+            # matched-delete (and suppressed unmatched-insert): the keys
+            # frame above still contains delete rows' keys, so their
+            # target rows leave via the anti-join — simply never writing
+            # the update row implements both clause arms
+            upd_src = dedup.where(~F.col("_del")) if has_del else dedup
             if evolve_schema:
                 # ADD-COLUMN evolution: new update columns become table
                 # columns; survivor files keep their narrower schema and
@@ -380,13 +445,15 @@ def merge(
                 new_cols = [
                     c
                     for c in dedup.columns
-                    if c not in target.columns and c not in order_cols
+                    if c not in target.columns
+                    and c not in order_cols
+                    and c != "_del"
                 ]
-                projected = dedup.select(*target.columns, *new_cols)
+                projected = upd_src.select(*target.columns, *new_cols)
             else:
                 # fixed-schema contract: extra update columns (e.g.
                 # synthetic ordering helpers) are dropped
-                projected = dedup.select(*target.columns)
+                projected = upd_src.select(*target.columns)
             fs, st = _write_data_file(projected, table_dir, stats_col)
             new_files += fs
             new_stats.update(st)
@@ -1209,6 +1276,138 @@ def merge_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detach_result(
         snap.select("c_custkey", "acctbal_cents", "merged", "n_orders"),
         table_dir,
+    )
+
+
+@register(
+    "merge_tx_sync_delete_scope",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.cents,
+                        CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS acctbal_cents,
+               (u.c_custkey IS NOT NULL) AS merged
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+        WHERE u.c_custkey IS NOT NULL OR c.c_custkey % 2 = 1
+    """,
+    doc="WHEN NOT MATCHED BY SOURCE AND <scope> THEN DELETE — the "
+    "dimension-sync MERGE clause (Delta 3.x): within the scope (even "
+    "custkeys here), target rows whose keys are absent from the batch "
+    "are removed in the same commit that applies the batch's updates "
+    "and inserts; rows outside the scope are untouched however stale. "
+    "The scope bounds the copy-on-write rewrite to files containing "
+    "scope rows — without it the clause degenerates into a full-table "
+    "replace. Oracle: LEFT JOIN keeping matched rows plus out-of-scope "
+    "unmatched rows.",
+    tags=("sink", "merge", "transaction", "delete", "sync"),
+)
+def merge_tx_sync_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_sync_{sf_tag}")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(
+        spark,
+        table_dir,
+        upd,
+        key_cols=["c_custkey"],
+        order_col="_ord",
+        sync_delete_scope=F.col("c_custkey") % 2 == 0,
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )
+
+
+@register(
+    "merge_tx_when_matched_delete",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.cents,
+                        CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS acctbal_cents,
+               (u.c_custkey IS NOT NULL) AS merged
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+        WHERE u.c_custkey IS NULL OR u.cents <= 250000000
+    """,
+    doc="WHEN MATCHED AND <cond> THEN DELETE — the Delta/Iceberg "
+    "matched-delete MERGE clause the surface was missing: one "
+    "orders-derived batch both updates (balance <= $2.5M in cents) and "
+    "deletes (balance above it) against the seeded customer table in a "
+    "single MERGE commit. Matched deletes leave via the same "
+    "affected-file anti-join that powers updates (no extra pass); "
+    "unmatched delete rows are no-ops, never inserted. The oracle is "
+    "the LEFT JOIN with the delete arm as a WHERE exclusion — row "
+    "count AND values prove both clause arms.",
+    tags=("sink", "merge", "transaction", "delete"),
+)
+def merge_tx_when_matched_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_del_{sf_tag}")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(
+        spark,
+        table_dir,
+        upd,
+        key_cols=["c_custkey"],
+        order_col="_ord",
+        delete_condition=F.col("acctbal_cents") > 250_000_000,
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
     )
 
 

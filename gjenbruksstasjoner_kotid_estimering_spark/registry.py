@@ -70,7 +70,11 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_time_travel",
     # (b) new this round + judge-requested streaming re-samples
     "merge_tx_evolve_conditional",
+    "merge_tx_when_matched_delete",
+    "merge_tx_sync_delete_scope",
     "agg_distinct_exact_vs_approx",
+    "stream_sliding_window_true",
+    "scan_csv_roundtrip",
     "stream_dedup_true",
     "stream_merge_sink_true",
     # (c) rotation: newest driver evidence r1 (9 names)

@@ -66,7 +66,14 @@ _ROUNDTRIP_ORACLE = """
 """
 
 
-def _register_roundtrip(name: str, fmt: str, read_opts: dict, write_opts: dict, doc: str):
+def _register_roundtrip(
+    name: str,
+    fmt: str,
+    read_opts: dict,
+    write_opts: dict,
+    doc: str,
+    read_schema: str | None = None,
+):
     from pyspark.sql import functions as F
 
     from ..registry import register
@@ -83,6 +90,9 @@ def _register_roundtrip(name: str, fmt: str, read_opts: dict, write_opts: dict, 
             w = w.option(k, v)
         w.save(path)
         r = spark.read.format(fmt)
+        if read_schema is not None:
+            # explicit schema: at 100 TB inference is an extra full pass
+            r = r.schema(read_schema)
         for k, v in read_opts.items():
             r = r.option(k, v)
         back = r.load(path)
@@ -119,4 +129,19 @@ scan_orc_roundtrip = _register_roundtrip(
     "the supplier projection writes/reads/aggregates hash-exact against "
     "the oracle. Proves the engine is not parquet-monogamous — a "
     "migration from an ORC warehouse reads natively.",
+)
+
+scan_csv_roundtrip = _register_roundtrip(
+    "scan_csv_roundtrip",
+    "csv",
+    read_opts={"header": "true", "mode": "FAILFAST"},
+    write_opts={"header": "true"},
+    read_schema="s_suppkey bigint, s_nationkey bigint, acctbal_cents bigint",
+    doc="CSV source/sink round-trip with an EXPLICIT read schema (never "
+    "infer — at 100 TB inference is a second full pass over the data) "
+    "and FAILFAST mode (a malformed row should abort the load, not "
+    "silently null out): the supplier projection writes header'd CSV, "
+    "reads back typed, and aggregates hash-exact against the oracle. "
+    "Integer-cents columns make the text round-trip lossless — the "
+    "format every legacy feed still arrives in.",
 )

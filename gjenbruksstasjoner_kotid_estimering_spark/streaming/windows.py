@@ -281,6 +281,62 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window_true",
+    oracle="""
+        WITH c AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        offsets AS (SELECT unnest([0, 5]) AS off_min),
+        assigned AS (
+          SELECT time_bucket(INTERVAL '10 minutes',
+                             ts - to_minutes(off_min))
+                 + to_minutes(off_min) AS window_start,
+                 value
+          FROM events CROSS JOIN offsets
+        )
+        SELECT window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_value_cents
+        FROM assigned, c
+        WHERE window_start + INTERVAL 10 MINUTE <= c.wm
+        GROUP BY window_start
+    """,
+    doc="TRUE streaming SLIDING-window aggregate (10-minute length, "
+    "5-minute slide — each event feeds 2 windows), oracle-checked: "
+    "readStream → withWatermark(30 min) → window('10 minutes', "
+    "'5 minutes') agg → AvailableNow APPEND drain. Same final-watermark "
+    "contract as the tumbling row: append emits exactly the windows "
+    "whose end ≤ max(ts) − delay; the oracle replays the overlapping "
+    "window-assignment arithmetic (bucket-shifted time_bucket) with the "
+    "same cutoff. Sliding-window ends land on 5-minute marks, so the "
+    "fixture boundary guard (tests/test_streaming.py) also asserts the "
+    "watermark is off the 300-second grid. Completes the windowed "
+    "streaming family: tumbling, sliding, session — all value-hashed "
+    "through the real engine.",
+    tags=("streaming", "window", "watermark"),
+)
+def stream_sliding_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .file_stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM_DELAY)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    return _drain_to_memory(agg, "slide_true", sf_dir, "append")
+
+
+@register(
     "stream_dedup_true",
     oracle="""
         SELECT DISTINCT user_id, event_type,

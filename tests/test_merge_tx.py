@@ -834,3 +834,88 @@ def test_changes_between_type_changing_versions(spark, tmp_path):
     assert rows[3] == ("insert", 30)
     assert 1 not in rows  # unchanged (int 10 == long 10 after unification)
     assert dict(cdf.dtypes)["v"] == "bigint"
+
+
+def test_when_matched_delete_clause(spark, tmp_path):
+    """Round-6: WHEN MATCHED AND cond THEN DELETE. Matched+cond rows are
+    removed, matched without cond update, unmatched delete rows never
+    insert, unmatched plain rows insert."""
+    t = str(tmp_path / "mdel")
+    _seed(spark, t, n=10)
+    upd = _updates(
+        spark,
+        [
+            (1, -1, 1),  # matched, v<0 → DELETE
+            (2, 25, 1),  # matched → update
+            (11, -5, 1),  # unmatched + delete cond → no-op
+            (12, 120, 1),  # unmatched → insert
+        ],
+    )
+    mt.merge(
+        spark, t, upd, ["k"], "_ord",
+        delete_condition=F.col("v") < 0,
+    )
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: r.v for r in snap.collect()}
+    assert 1 not in rows and 11 not in rows
+    assert rows[2] == 25 and rows[12] == 120
+    assert len(rows) == 10  # 10 seed - 1 deleted + 1 inserted
+
+
+def test_conditional_delete_stale_cannot_remove(spark, tmp_path):
+    """Round-6: delete clause under conditional (cross-merge LWW): a
+    STALE delete row loses the ordering window to the newer target row
+    and must NOT remove the key; a fresh delete does; replaying the
+    fresh delete is idempotent."""
+    t = str(tmp_path / "cdel")
+    b1 = spark.createDataFrame(
+        [(1, 100, 10), (2, 200, 10)], schema="k long, v long, o long"
+    )
+    mt.merge(spark, t, b1, ["k"], "o", conditional=True)
+    late_delete = spark.createDataFrame(
+        [(1, -1, 5), (2, -1, 20)], schema="k long, v long, o long"
+    )
+    mt.merge(
+        spark, t, late_delete, ["k"], "o",
+        conditional=True, delete_condition=F.col("v") < 0,
+    )
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: (r.v, r.o) for r in snap.collect()}
+    assert rows[1] == (100, 10)  # stale delete rejected
+    assert 2 not in rows  # fresh delete applied
+    # replay: still exactly the same state
+    mt.merge(
+        spark, t, late_delete, ["k"], "o",
+        conditional=True, delete_condition=F.col("v") < 0,
+    )
+    snap, _ = mt.snapshot(spark, t)
+    assert {r.k: (r.v, r.o) for r in snap.collect()} == rows
+
+
+def test_sync_delete_scope_clause(spark, tmp_path):
+    """Round-6: WHEN NOT MATCHED BY SOURCE AND scope THEN DELETE.
+    In-scope unmatched target rows are removed; out-of-scope unmatched
+    rows survive; matched rows update; unmatched batch keys insert —
+    all in one commit. Untouched out-of-scope files carry by ref."""
+    t = str(tmp_path / "sync")
+    _seed(spark, t, n=10)  # keys 0..9
+    upd = _updates(spark, [(2, 222, 1), (4, 444, 1), (20, 200, 1)])
+    mt.merge(
+        spark, t, upd, ["k"], "_ord",
+        sync_delete_scope=F.col("k") < 5,
+    )
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: r.v for r in snap.collect()}
+    # scope = k<5: unmatched 0,1,3 deleted; matched 2,4 updated
+    assert 0 not in rows and 1 not in rows and 3 not in rows
+    assert rows[2] == 222 and rows[4] == 444
+    # out of scope: 5..9 survive untouched; new key 20 inserted
+    assert all(rows[k] == k * 10 for k in range(5, 10))
+    assert rows[20] == 200
+    assert len(rows) == 8
+    # conditional + sync is rejected
+    with pytest.raises(ValueError, match="sync_delete_scope"):
+        mt.merge(
+            spark, t, upd, ["k"], "_ord",
+            conditional=True, sync_delete_scope=F.col("k") < 5,
+        )

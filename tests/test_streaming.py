@@ -269,14 +269,15 @@ def test_true_window_fixtures_avoid_watermark_boundary_cases():
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/events.parquet"
         con = duckdb.connect()
-        # watermark must not land exactly on a 10-minute window end
+        # watermark must not land exactly on a 10-minute tumbling window
+        # end, nor on the 5-minute grid where SLIDING window ends live
         (off,) = con.execute(
             f"""
-            SELECT epoch(max(ts) - INTERVAL 30 MINUTE)::BIGINT % 600
+            SELECT epoch(max(ts) - INTERVAL 30 MINUTE)::BIGINT % 300
             FROM read_parquet('{path}')
             """
         ).fetchone()
-        assert off != 0, f"{sf}: watermark lands on a tumbling boundary"
+        assert off != 0, f"{sf}: watermark lands on a window-end boundary"
         # no per-user gap of exactly 30 minutes (session break equality)
         (n_exact,) = con.execute(
             f"""
