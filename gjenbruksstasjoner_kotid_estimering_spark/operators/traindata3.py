@@ -443,3 +443,98 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_digest"),
         )
     )
+
+
+LM_TOP_BIGRAMS = 500
+
+
+@register(
+    "text_bigram_coverage",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   list_transform(t,
+                     (x, i) -> CASE WHEN i < len(t)
+                               THEN x || ' ' || t[i + 1] END),
+                   y -> y IS NOT NULL)) AS pair
+          FROM toks
+        ),
+        top AS (
+          SELECT pair FROM pairs
+          GROUP BY pair
+          ORDER BY count(*) DESC, pair
+          LIMIT {LM_TOP_BIGRAMS}
+        ),
+        per AS (
+          SELECT p.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(*) FILTER (WHERE t.pair IS NOT NULL)
+                      AS BIGINT) AS n_top_bigrams
+          FROM pairs p LEFT JOIN top t USING (pair)
+          GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_bigrams, 0) AS n_bigrams,
+               COALESCE(per.n_top_bigrams, 0) AS n_top_bigrams
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Language-model-proxy quality signal: for every document, how "
+    "many of its adjacent-token bigrams (with multiplicity) fall inside "
+    "the corpus's top-500 bigram vocabulary — the integer-exact core of "
+    "a KenLM-style perplexity gate (a doc whose bigrams barely touch "
+    "the corpus head is boilerplate, noise, or another language; "
+    "consumers divide the two counts). No libm anywhere, so the oracle "
+    "hashes exactly. Plan: one pair scan feeds BOTH the vocabulary "
+    "top-k (partial-agg + TakeOrdered, vocabulary-sized state) and the "
+    "per-doc counts; the vocabulary broadcasts back as a left-join "
+    "flag, so the per-doc pass is a single doc_id-keyed shuffle — at "
+    "100 TB the head vocabulary is KBs while the corpus scan "
+    "parallelizes freely. Tokenizer contract shared with the BPE/"
+    "winnowing lanes (guarded \\s+ split).",
+    tags=("text", "tokens", "quality", "lm"),
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    adjacent = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select("doc_id", F.explode(adjacent).alias("pair"))
+    pairs = pairs.localCheckpoint(eager=True)  # one pair scan, two consumers
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(LM_TOP_BIGRAMS)
+        .select("pair", F.lit(True).alias("_top"))
+    )
+    per = (
+        pairs.join(F.broadcast(top), "pair", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_if(F.col("_top").isNotNull()).alias("n_top_bigrams"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_top_bigrams", F.lit(0)).alias("n_top_bigrams"),
+        )
+    )

@@ -176,3 +176,22 @@ def test_new_ops_registered_with_oracles():
         "text_gopher_quality_flags",
     ):
         assert name in specs and specs[name].oracle is not None
+
+
+def test_bigram_coverage_invariants(spark):
+    """text_bigram_coverage: top-count never exceeds total; docs with
+    fewer than two tokens report zero bigrams; every document appears."""
+    from gjenbruksstasjoner_kotid_estimering_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        registry.all_specs()["text_bigram_coverage"]
+        .builder(spark, sf)
+        .collect()
+    )
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+    n_docs = load_table(spark, sf, "documents").count()
+    assert len(rows) == n_docs
+    assert all(0 <= r.n_top_bigrams <= r.n_bigrams for r in rows)
+    assert any(r.n_top_bigrams > 0 for r in rows)
