@@ -1346,6 +1346,75 @@ def merge_tx_sync_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_tx_full_clause_matrix",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               COALESCE(u.cents,
+                        CAST(round(c.c_acctbal * 100) AS BIGINT))
+                   AS acctbal_cents,
+               (u.c_custkey IS NOT NULL) AS merged
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+        WHERE (u.c_custkey IS NOT NULL AND u.cents <= 250000000)
+           OR (u.c_custkey IS NULL AND c.c_custkey % 2 = 1)
+    """,
+    doc="The FULL MERGE statement in one commit — all four clause arms "
+    "of the ANSI/Delta form simultaneously: WHEN MATCHED AND "
+    "cents > $2.5M THEN DELETE; WHEN MATCHED THEN UPDATE; WHEN NOT "
+    "MATCHED THEN INSERT; WHEN NOT MATCHED BY SOURCE AND even-custkey "
+    "THEN DELETE. Clause interaction is where MERGE implementations "
+    "break (a matched-delete key must not resurrect via the sync scope; "
+    "a sync-scoped file's matched rows must still update), so the "
+    "oracle covers the joint truth table: matched rows survive iff "
+    "under the delete threshold, unmatched rows survive iff outside "
+    "the sync scope. Single commit, single affected-file pass.",
+    tags=("sink", "merge", "transaction", "delete", "sync"),
+)
+def merge_tx_full_clause_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_matrix_{sf_tag}")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(
+        spark,
+        table_dir,
+        upd,
+        key_cols=["c_custkey"],
+        order_col="_ord",
+        delete_condition=F.col("acctbal_cents") > 250_000_000,
+        sync_delete_scope=F.col("c_custkey") % 2 == 0,
+    )
+    snap, _ = snapshot(spark, table_dir)
+    return detach_result(
+        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
+    )
+
+
+@register(
     "merge_tx_when_matched_delete",
     oracle="""
         WITH upd AS (

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_evolve_conditional",
     "merge_tx_when_matched_delete",
     "merge_tx_sync_delete_scope",
+    "merge_tx_full_clause_matrix",
     "agg_distinct_exact_vs_approx",
     "stream_sliding_window_true",
     "scan_csv_roundtrip",

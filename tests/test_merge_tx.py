@@ -919,3 +919,37 @@ def test_sync_delete_scope_clause(spark, tmp_path):
             spark, t, upd, ["k"], "_ord",
             conditional=True, sync_delete_scope=F.col("k") < 5,
         )
+
+
+def test_full_clause_matrix_single_call(spark, tmp_path):
+    """Round-6: all four MERGE clause arms in ONE call — the joint truth
+    table, including the interaction corners (a matched-delete key in
+    the sync scope deletes exactly once; a sync-scoped file's matched
+    rows still update; an insert is unaffected by the scope)."""
+    t = str(tmp_path / "matrix")
+    _seed(spark, t, n=10)  # keys 0..9, v = k*10
+    upd = _updates(
+        spark,
+        [
+            (2, -1, 1),  # matched + delete cond (even: also in scope)
+            (3, -1, 1),  # matched + delete cond (odd: outside scope)
+            (4, 44, 1),  # matched update, in scope → must still update
+            (5, 55, 1),  # matched update, outside scope
+            (20, 200, 1),  # insert (even key — scope must not block it)
+            (21, -9, 1),  # unmatched + delete cond → no-op
+        ],
+    )
+    mt.merge(
+        spark, t, upd, ["k"], "_ord",
+        delete_condition=F.col("v") < 0,
+        sync_delete_scope=F.col("k") % 2 == 0,
+    )
+    snap, _ = mt.snapshot(spark, t)
+    rows = {r.k: r.v for r in snap.collect()}
+    assert 2 not in rows and 3 not in rows  # matched deletes, both parities
+    assert rows[4] == 44 and rows[5] == 55  # updates land either side
+    assert rows[20] == 200 and 21 not in rows
+    # sync arm: unmatched EVEN keys gone, unmatched ODD keys intact
+    assert all(k not in rows for k in (0, 6, 8))
+    assert all(rows[k] == k * 10 for k in (1, 7, 9))
+    assert len(rows) == 6  # 4,5,20 + 1,7,9
