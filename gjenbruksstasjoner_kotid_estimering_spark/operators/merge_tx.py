@@ -1346,6 +1346,75 @@ def merge_tx_sync_delete_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_tx_delete_cdf",
+    oracle="""
+        WITH upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(round(sum(o_totalprice) * 100)
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_custkey % 7 = 0
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               CASE WHEN u.cents > 250000000
+                    THEN 'delete' ELSE 'update' END AS change_type,
+               CASE WHEN u.cents > 250000000
+                    THEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+                    ELSE u.cents END AS acctbal_cents,
+               (u.cents <= 250000000) AS merged
+        FROM customer c JOIN upd u USING (c_custkey)
+    """,
+    doc="Change data feed across a matched-DELETE merge: after one "
+    "commit that both updates (balance <= $2.5M) and deletes (above "
+    "it), changes_between(v1, v2) must emit 'update' rows carrying the "
+    "post-image and 'delete' rows carrying the PRE-image — the CDC "
+    "contract consumers (downstream sync, audit) rely on when rows can "
+    "disappear. Every matched row appears (the merged flag flips on "
+    "update, so no silent no-change suppression); unmatched rows are "
+    "absent. Snapshot-diff CDF needs no per-commit action log, so "
+    "delete support costs nothing extra — the full-outer diff already "
+    "classifies vanished keys.",
+    tags=("sink", "merge", "cdf", "delete", "timetravel"),
+)
+def merge_tx_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_delcdf_{sf_tag}")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
+            "acctbal_cents"
+        ),
+        F.lit(False).alias("merged"),
+    )
+    _write_seed(spark, table_dir, base)
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("acctbal_cents")
+        )
+        .withColumn("merged", F.lit(True))
+        .withColumn("_ord", F.lit(1))
+    )
+    merge(
+        spark,
+        table_dir,
+        upd,
+        key_cols=["c_custkey"],
+        order_col="_ord",
+        delete_condition=F.col("acctbal_cents") > 250_000_000,
+    )
+    cdf = changes_between(spark, table_dir, ["c_custkey"], 1, 2)
+    return detach_result(
+        cdf.select("c_custkey", "change_type", "acctbal_cents", "merged"),
+        table_dir,
+    )
+
+
+@register(
     "merge_tx_full_clause_matrix",
     oracle="""
         WITH upd AS (

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "merge_tx_when_matched_delete",
     "merge_tx_sync_delete_scope",
     "merge_tx_full_clause_matrix",
+    "merge_tx_delete_cdf",
     "agg_distinct_exact_vs_approx",
     "stream_sliding_window_true",
     "scan_csv_roundtrip",
