@@ -142,6 +142,15 @@ def _drain_to_memory(
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"stream_{tag}_{sf_tag}_{uuid.uuid4().hex[:8]}"
     ckpt = new_scratch_dir(f"ckpt_{tag}_{sf_tag}")
+    # Stateful micro-batches pay per-partition task + state-store overhead
+    # every batch; at drain scale the state is KBs, so 32 shuffle
+    # partitions is pure scheduling tax. The partition count is captured
+    # into the CHECKPOINT at first start (fresh per invocation here), so
+    # scoping the override to the drain is safe — batch queries and the
+    # driver's own session settings are restored in the finally. At real
+    # scale you size this to state volume, not down.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
@@ -162,6 +171,10 @@ def _drain_to_memory(
             q.stop()
         except Exception:
             pass
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
