@@ -74,3 +74,48 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.dropTempView(src)
     return out
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Spark 4 SQL pipe syntax (SQL:2023-style |> chaining, the "
+    "GoogleSQL/ZetaSQL form): FROM lineitem |> WHERE ... |> AGGREGATE "
+    "... GROUP BY ... |> ORDER BY — the linear query style warehouse "
+    "migrations increasingly arrive in. Catalyst parses pipes into the "
+    "same logical plan as the classic form, so pushdown/codegen are "
+    "identical; the oracle is the classic-syntax equivalent, proving "
+    "the two spellings agree to the hash.",
+    tags=("sql", "pipe", "agg"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = f"lineitem_pipe_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        out = spark.sql(f"""
+            FROM {view}
+            |> WHERE l_quantity >= 10
+            |> AGGREGATE count(*) AS n_rows,
+                         sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS price_cents
+               GROUP BY l_returnflag, l_linestatus
+            |> ORDER BY l_returnflag, l_linestatus
+        """)
+        out = out.select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            F.col("price_cents").cast("long").alias("price_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)

@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_distinct_exact_vs_approx",
     "stream_sliding_window_true",
     "scan_csv_roundtrip",
+    "sql_pipe_syntax",
     "text_bigram_coverage",
     "stream_dedup_true",
     "stream_merge_sink_true",
