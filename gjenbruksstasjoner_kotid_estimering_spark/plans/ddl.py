@@ -119,3 +119,61 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_udf_functions",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice >= 150000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Spark 4 SQL-defined functions (CREATE FUNCTION ... RETURN — "
+    "the ANSI SQL/PSM form, no Python or JVM code): a SCALAR function "
+    "(price→integer cents) and a TABLE function (orders above a "
+    "threshold parameter) are declared in SQL and composed in one "
+    "query. Catalyst INLINES both bodies into the calling plan — the "
+    "scalar into the projection, the table function like a "
+    "parameterized view — so pushdown and codegen are what the "
+    "hand-inlined query gets, which is exactly what the oracle runs. "
+    "Session-scoped temp functions with uuid names keep concurrent "
+    "invocations hermetic.",
+    tags=("sql", "udf", "function"),
+)
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = uuid.uuid4().hex[:8]
+    view, cents, hv = f"orders_{tag}", f"cents_{tag}", f"high_value_{tag}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {cents}(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {hv}(thresh DOUBLE) "
+        "RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE) "
+        f"RETURN SELECT o_orderpriority, o_totalprice FROM {view} "
+        "WHERE o_totalprice >= thresh"
+    )
+    try:
+        out = spark.sql(f"""
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   sum({cents}(o_totalprice)) AS total_cents
+            FROM {hv}(CAST(150000.0 AS DOUBLE))
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """).select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {cents}")
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {hv}")
+        spark.catalog.dropTempView(view)

@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sliding_window_true",
     "scan_csv_roundtrip",
     "sql_pipe_syntax",
+    "sql_udf_functions",
     "text_bigram_coverage",
     "stream_dedup_true",
     "stream_merge_sink_true",
