@@ -177,3 +177,54 @@ def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {cents}")
         spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {hv}")
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal >= 1000.0
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    doc="Parameterized SQL with named markers plus the IDENTIFIER() "
+    "clause (Spark 4): table names bind through IDENTIFIER(:tbl) and "
+    "the threshold through :min_bal, so neither is string-interpolated "
+    "— the injection-safe form a SQL-warehouse migration should land "
+    "on. Parameters bind at parse time into the same plan as literal "
+    "SQL (pushdown intact), which the hash against the literal-SQL "
+    "oracle proves.",
+    tags=("sql", "parameterized", "join", "agg"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = uuid.uuid4().hex[:8]
+    sup, nat = f"supplier_{tag}", f"nation_{tag}"
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(sup)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(nat)
+    try:
+        out = spark.sql(
+            """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                       AS acctbal_cents
+            FROM IDENTIFIER(:sup) JOIN IDENTIFIER(:nat)
+              ON s_nationkey = n_nationkey
+            WHERE s_acctbal >= :min_bal
+            GROUP BY n_name
+            ORDER BY n_name
+            """,
+            args={"sup": sup, "nat": nat, "min_bal": 1000.0},
+        ).select(
+            "n_name",
+            "n_suppliers",
+            F.col("acctbal_cents").cast("long").alias("acctbal_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(sup)
+        spark.catalog.dropTempView(nat)

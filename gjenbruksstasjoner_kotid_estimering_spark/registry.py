@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_csv_roundtrip",
     "sql_pipe_syntax",
     "sql_udf_functions",
+    "sql_parameterized",
     "text_bigram_coverage",
     "stream_dedup_true",
     "stream_merge_sink_true",
