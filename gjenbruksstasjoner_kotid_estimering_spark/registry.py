@@ -55,20 +55,21 @@ def register(
 
 
 # The driver's correctness sweep walks ``queries()`` in dict-insertion
-# order under a ~50-query-per-round budget. Round-6 ordering policy
-# (VERDICT r5 items 1, 4, 6): (a) the one red row first — the
-# merge_tx_time_travel ORACLE dtype bug (DuckDB HUGEINT→float64 vs Spark
-# int64) is fixed by CASTing its UNION ALL branches to BIGINT, so its
-# re-sample should finally go green; (b) queries NEW this round plus the
-# two newest true-streaming rows the judge asked to re-sample after the
-# adversarial multi-batch soak (tests/test_streaming_soak.py);
-# (c) re-verification rotation by OLDEST driver evidence — the nine
-# r1-last-seen stragglers, then the whole r2-last-seen block — so after
-# this round no key's newest evidence predates r3 (modulo the ~50 budget).
+# order under a ~50-query-per-round budget. Round-6-driver ordering:
+# (a) the r4/r5 red row first (its oracle dtype fix — CAST every UNION
+# branch to BIGINT — landed after the r5 snapshot, so the driver has not
+# yet recorded it green); (b) every never-driver-sampled key: the 12
+# post-r5-snapshot rows plus this round's 8; (c) rotation by OLDEST
+# driver evidence — the nine r1-last-seen stragglers, then the
+# r2-last-seen block, of which the ~50 budget covers the head; the tail
+# rolls forward next round.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the round-4/5 red row — oracle fixed this round
+    # (a) the r4/r5 red row: oracle dtype fix landed last round but the
+    # driver has not yet confirmed it — re-verify first
     "merge_tx_time_travel",
-    # (b) new this round + judge-requested streaming re-samples
+    # (b) never-driver-sampled: the post-r5-snapshot wave (12) + this
+    # round's 8 additions (runtime bloom, z-order skipping, fuzzy/geo
+    # blocked joins, weighted median, OHLC, DQ suite, skew profile)
     "merge_tx_evolve_conditional",
     "merge_tx_when_matched_delete",
     "merge_tx_sync_delete_scope",
@@ -81,8 +82,14 @@ _PRIORITY: tuple[str, ...] = (
     "sql_udf_functions",
     "sql_parameterized",
     "text_bigram_coverage",
-    "stream_dedup_true",
-    "stream_merge_sink_true",
+    "join_runtime_bloom",
+    "join_fuzzy_levenshtein",
+    "join_geo_gridblock",
+    "scan_zorder_skipping",
+    "agg_weighted_median",
+    "timeseries_resample_ohlc",
+    "dq_constraint_checks",
+    "profile_skew_keys",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",
@@ -93,7 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "sort_multi",
     "string_funcs2",
     "try_funcs",
-    # ... then the whole r2-last-seen block (48 names)
+    # (d) then the r2-last-seen block (48 names) — the driver budget
+    # (~50/round) reaches partway in; the rest roll to next round
     "agg_approx_quantile",
     "agg_histogram",
     "agg_hll_sketch",
@@ -182,6 +190,7 @@ def _load_all() -> None:
     from .plans import ddl  # noqa: F401  # round-5 additions
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
+    from .plans import advanced4  # noqa: F401  # round-6 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
