@@ -142,6 +142,22 @@ def _connected_components_star(
         e = _canonical(
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         ).localCheckpoint(eager=True)
+    from ..session import scoped_shuffle_partitions
+
+    rounds = 0
+    prev_sig: tuple | None = None
+    with scoped_shuffle_partitions(edges.sparkSession, 8):
+        return _star_rounds(e, max_rounds)
+
+
+def _star_rounds(e: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """The alternating-star fixpoint loop. Runs under a reduced shuffle-
+    partition scope (_connected_components_star): the edge frontier is
+    orders smaller than the corpus that produced it, and each of the
+    ~2·log(n) rounds pays 3 shuffles + a signature collect — at the
+    session default that cost is per-task scheduling, not data. Each
+    round materializes via localCheckpoint, so the scope covers all
+    execution."""
     rounds = 0
     prev_sig: tuple | None = None
     for _ in range(max_rounds):

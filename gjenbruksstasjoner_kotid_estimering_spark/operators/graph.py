@@ -161,7 +161,15 @@ def pagerank(
     tags=("graph", "iterative", "pagerank"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank(cooccurrence_edges(spark, sf_dir))
+    from ..session import scoped_shuffle_partitions
+
+    # Rank state is node-sized (KBs here, GBs at 100 TB — still orders
+    # below the event scan); 10 rounds × 3 shuffles at the session
+    # default is scheduling tax, so the iteration runs at 8 partitions.
+    # Every round materializes inside pagerank() (localCheckpoint), so
+    # the scope covers all actual execution.
+    with scoped_shuffle_partitions(spark, 8):
+        return pagerank(cooccurrence_edges(spark, sf_dir))
 
 
 @register(

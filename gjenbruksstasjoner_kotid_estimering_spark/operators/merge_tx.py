@@ -47,6 +47,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ..scratch import detach_result, new_scratch_dir
+from ..scratch import detach_result, new_scratch_dir, process_cache_dir
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -503,9 +505,9 @@ def merge(
 def upsert_merge_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_tx", mods=(7,))
     snap, _ = snapshot(spark, table_dir)
-    return detach_result(
-        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
-    )
+    # per-process cached fixture — returned lazily (no detach): the table
+    # outlives the frame and no other process can touch it
+    return snap.select("c_custkey", "acctbal_cents", "merged")
 
 
 def _write_seed(
@@ -764,6 +766,10 @@ def changes_between(
     )
 
 
+_SEED_CACHE: dict[tuple[str, tuple[int, ...]], str] = {}
+_SEED_LOCK = threading.Lock()
+
+
 def _seed_and_merges(
     spark: SparkSession, sf_dir: str, tag: str, mods: tuple[int, ...]
 ) -> str:
@@ -774,12 +780,37 @@ def _seed_and_merges(
     One definition keeps the seed schema / cents rounding in lockstep
     with the _VERSIONED_STATES_SQL oracle CTEs.
 
-    Hermetic by construction (the round-4 flake fix): the table lives in
-    a per-invocation unique dir — concurrent invocations of the same
-    query can never wipe each other's files — and every registry fn
-    below detaches its result (scratch.detach_result) before returning,
-    so the caller's frame references no scratch path at all."""
-    table_dir = new_scratch_dir(f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    Built once per (sf_dir, mods) PER PROCESS (scratch.process_cache_dir
+    — pid-scoped, so the round-4 cross-process wipe race cannot recur;
+    the build is lock-serialized, so a concurrent first call waits
+    instead of observing a half-committed table). The versioned table is
+    immutable copy-on-write state: later commits (e.g. compact_read's
+    OPTIMIZE) only append versions, and version-addressed readers are
+    unaffected — which is exactly the lakehouse-snapshot claim these
+    queries exist to prove. Callers must NOT delete the returned dir;
+    it lives until process exit (atexit) or owner death (gc_scratch)."""
+    key = (os.path.realpath(sf_dir), mods)
+    with _SEED_LOCK:
+        cached = _SEED_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return cached
+        table_dir = _build_seed_and_merges(spark, sf_dir, mods)
+        _SEED_CACHE[key] = table_dir
+        return table_dir
+
+
+def _build_seed_and_merges(
+    spark: SparkSession, sf_dir: str, mods: tuple[int, ...]
+) -> str:
+    name = "merge_seed_{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+        "_".join(map(str, mods)),
+    )
+    table_dir = os.path.join(process_cache_dir(), name)
+    # a crashed earlier build in THIS process may have left a partial
+    # table; the lock in the caller makes this remove-and-rebuild safe
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir)
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.round(F.col("c_acctbal") * 100)).cast("long").alias(
@@ -880,7 +911,7 @@ def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acctbal_cents").alias("acctbal_sum_cents"),
         )
         out = summary if out is None else out.unionAll(summary)
-    return detach_result(out, table_dir)
+    return out  # cached fixture: version-addressed reads stay valid
 
 
 @register(
@@ -907,11 +938,9 @@ def merge_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def merge_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_cdf", mods=(7, 5))
-    return detach_result(
-        changes_between(
-            spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
-        ),
-        table_dir,
+    # cached fixture — lazy return; versions 2 and 3 are immutable
+    return changes_between(
+        spark, table_dir, key_cols=["c_custkey"], v_from=2, v_to=3
     )
 
 
@@ -1205,11 +1234,13 @@ def zorder_value(col_a: str, col_b: str):
 )
 def merge_tx_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _seed_and_merges(spark, sf_dir, "merge_compact", mods=(7,))
+    # Appends an OPTIMIZE commit to the per-process cached table: commits
+    # are copy-on-write, so concurrent/later readers of any version are
+    # unaffected (re-invocation just re-compacts the compacted tip —
+    # contents identical, which is the compaction contract being tested).
     compact(spark, table_dir, max_files=2)
     snap, _ = snapshot(spark, table_dir)
-    return detach_result(
-        snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
-    )
+    return snap.select("c_custkey", "acctbal_cents", "merged")
 
 
 @register(

@@ -419,11 +419,19 @@ def semantic_dedup_frame(
     feats = feats.localCheckpoint(eager=True)
     n = feats.count()
     k = max(16, -(-n // target_cluster_size))  # ceil without math import
+    # Coarse blocking clusters, not a converged clustering: SemDeDup only
+    # needs same-neighborhood vectors to land in the same candidate
+    # bucket, and the default (maxIter=20, tol=1e-4) never converges on
+    # this corpus — it just runs all 20 rounds. 8 rounds at a loose tol
+    # halves the fit cost; the dedup invariants
+    # (tests/test_semantic_scale.py) are cluster-shape-independent.
     km = KMeans(
         k=k,
         seed=SEED if seed is None else seed,
         featuresCol="features",
         predictionCol="cluster",
+        maxIter=8,
+        tol=1e-3,
     )
     # Norms are computed ONCE per vector before the self-join; inside the
     # join each candidate pair would re-fold 2×64 elements — per-side

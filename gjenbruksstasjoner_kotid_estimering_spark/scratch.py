@@ -87,6 +87,15 @@ def gc_scratch(max_age_seconds: float = MAX_AGE_SECONDS) -> list[str]:
     removed: list[str] = []
     for name in os.listdir(root):
         path = os.path.join(root, name)
+        owner = _pidcache_owner(name)
+        if owner is not None:
+            # per-process fixture caches live exactly as long as their
+            # owner: reap on owner death (any age), never on age alone —
+            # an idle-but-live process may still lazily read its cache
+            if not _pid_alive(owner):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+            continue
         try:
             if _tree_older_than(path, cutoff):
                 shutil.rmtree(path, ignore_errors=True)
@@ -121,3 +130,65 @@ def detach_result(df: DataFrame, *scratch_dirs: str) -> DataFrame:
     for d in scratch_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- per-process fixture cache ----------------------------------------
+#
+# Some registry fixtures are IMMUTABLE once built (the merge_tx
+# seed+commits table: copy-on-write data files + versioned manifests) and
+# rebuilt identically by several registry queries. Rebuilding per
+# invocation is hermetic but wasteful; sharing a deterministic path
+# across PROCESSES was the round-4 corruption class. The middle ground: a
+# cache dir OWNED BY THIS PROCESS (pid in the path), so
+#
+# - no cross-process sharing ever (the round-4 race cannot recur),
+# - concurrent invocations in one process share a build under a lock,
+# - crash leftovers are reaped by ANY later process seeing the owner pid
+#   dead (no age heuristic needed), and the owner removes its dir at
+#   interpreter exit.
+#
+# gc_scratch skips these dirs while their owner lives (age alone must
+# never reap a cache another thread is lazily reading).
+
+_PIDCACHE_PREFIX = "pidcache-"
+_atexit_registered = False
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _pidcache_owner(name: str) -> int | None:
+    if not name.startswith(_PIDCACHE_PREFIX):
+        return None
+    try:
+        return int(name[len(_PIDCACHE_PREFIX):])
+    except ValueError:
+        return None
+
+
+def process_cache_dir() -> str:
+    """This process's fixture-cache root (created on first use); also
+    reaps cache roots whose owner process is gone."""
+    global _atexit_registered
+    root = scratch_root()
+    for name in os.listdir(root):
+        pid = _pidcache_owner(name)
+        if pid is not None and pid != os.getpid() and not _pid_alive(pid):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    path = os.path.join(root, f"{_PIDCACHE_PREFIX}{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    if not _atexit_registered:
+        import atexit
+
+        atexit.register(
+            lambda: shutil.rmtree(path, ignore_errors=True)
+        )
+        _atexit_registered = True
+    return path

@@ -16,6 +16,7 @@ AQE coalescing at scale.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -95,3 +96,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` for an ITERATIVE
+    section whose per-round state is orders of magnitude smaller than the
+    input scan (PageRank ranks, connected-components edge frontier,
+    in-cluster candidate pairs). Each round's shuffle at the session
+    default is mostly per-task scheduling overhead on KB–MB frames — the
+    same tax the streaming drain harness eliminates
+    (streaming/windows._drain_to_memory) — and iterative loops pay it
+    rounds × shuffles times. Every round must MATERIALIZE inside the
+    scope (the iterative ops here localCheckpoint each round, so they
+    do); the previous value is restored on exit either way. At real
+    cluster scale, size to state volume instead of scoping down."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

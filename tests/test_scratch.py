@@ -144,3 +144,43 @@ def test_concurrent_streaming_invocations_agree(spark):
         t.join()
     assert not errors
     assert res[0] == res[1] and len(res[0]) > 0
+
+
+def test_process_cache_dir_is_pid_scoped_and_reaped():
+    """The fixture cache lives under a pid-named dir; gc_scratch reaps a
+    dead owner's cache immediately but never a live one, regardless of
+    age."""
+    import os
+    import time
+
+    from gjenbruksstasjoner_kotid_estimering_spark import scratch as sc
+
+    mine = sc.process_cache_dir()
+    assert f"pidcache-{os.getpid()}" in mine
+
+    # a dead-owner cache (pid 1 is init — alive; use an impossible pid)
+    dead = os.path.join(sc.scratch_root(), "pidcache-999999999")
+    os.makedirs(dead, exist_ok=True)
+    removed = sc.gc_scratch()
+    assert dead in removed and not os.path.isdir(dead)
+
+    # my own cache survives gc even when its tree looks ancient
+    ancient = time.time() - 10 * sc.MAX_AGE_SECONDS
+    os.utime(mine, (ancient, ancient))
+    sc.gc_scratch()
+    assert os.path.isdir(mine)
+
+
+def test_seed_and_merges_cached_per_process(spark):
+    """Two calls with the same (sf_dir, mods) return the SAME immutable
+    table; different mods get distinct tables."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators import merge_tx as mt
+
+    a = mt._seed_and_merges(spark, SF, "t1", mods=(7,))
+    b = mt._seed_and_merges(spark, SF, "t2", mods=(7,))
+    c = mt._seed_and_merges(spark, SF, "t3", mods=(7, 5))
+    assert a == b
+    assert c != a
+    # cached table is complete: version count matches 1 seed + len(mods)
+    assert mt.current_version(a) >= 2
+    assert mt.current_version(c) >= 3
