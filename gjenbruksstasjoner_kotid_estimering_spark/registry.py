@@ -90,6 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_resample_ohlc",
     "dq_constraint_checks",
     "profile_skew_keys",
+    "embedding_dim_stats",
+    "sample_importance_weighted",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",
@@ -191,6 +193,7 @@ def _load_all() -> None:
     from .plans import advanced2  # noqa: F401  # round-2 additions
     from .plans import advanced3  # noqa: F401  # round-4 additions
     from .plans import advanced4  # noqa: F401  # round-6 additions
+    from .operators import traindata5  # noqa: F401  # round-6 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
