@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "profile_skew_keys",
     "embedding_dim_stats",
     "sample_importance_weighted",
+    "stream_ohlc_true",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",

@@ -294,6 +294,71 @@ def stream_session_window_true(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ohlc_true",
+    oracle="""
+        WITH c AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS volume_cents
+        FROM events, c
+        WHERE time_bucket(INTERVAL '15 minutes', ts) + INTERVAL 15 MINUTE
+              <= c.wm
+        GROUP BY 1, 2
+    """,
+    doc="TRUE streaming OHLC bars, oracle-checked: readStream → "
+    "withWatermark(30 min) → 15-minute window per event type with "
+    "min_by/max_by picking the open/close values by event time — the "
+    "live form of timeseries_resample_ohlc, turning a tick stream into "
+    "bars as windows close (append emits each bar once the watermark "
+    "passes its end; the terminal no-data micro-batch flushes "
+    "everything ≤ max(ts) − delay, which is the oracle's cutoff). "
+    "min_by needs no tie-break here: event timestamps are globally "
+    "unique at µs resolution in every fixture "
+    "(tests/test_streaming.py pins this invariant, alongside the "
+    "watermark-boundary guard). All outputs are selected values or "
+    "integer cents — hash-exact despite the double column. Fourth "
+    "value-hashed streaming window family (tumbling, session, "
+    "sliding, OHLC).",
+    tags=("streaming", "ohlc", "timeseries", "watermark"),
+)
+def stream_ohlc_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .file_stream import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM_DELAY)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias(
+                "volume_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume_cents",
+        )
+    )
+    return _drain_to_memory(agg, "ohlc_true", sf_dir, "append")
+
+
+@register(
     "stream_sliding_window_true",
     oracle="""
         WITH c AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),

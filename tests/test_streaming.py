@@ -301,3 +301,20 @@ def test_true_window_fixtures_avoid_watermark_boundary_cases():
             """
         ).fetchone()
         assert n_wm == 0, f"{sf}: session end can land on the watermark"
+
+
+def test_event_timestamps_globally_unique():
+    """stream_ohlc_true's min_by/max_by open/close picks (and the batch
+    OHLC twin's row_number flags) are deterministic because event
+    timestamps never collide: unique at µs resolution in every fixture.
+    If regenerated testdata ever introduces duplicate timestamps, this
+    flags it before a tie makes the driver hash data-dependent."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        con = duckdb.connect()
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT ts) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert n == d, f"{sf}: {n - d} duplicate event timestamps"
