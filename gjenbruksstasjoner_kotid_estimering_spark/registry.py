@@ -93,6 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_dim_stats",
     "sample_importance_weighted",
     "stream_ohlc_true",
+    "scan_hive_partitioned",
+    "udtf_table_arg_topk",
+    "agg_approx_top_k",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",
@@ -195,6 +198,7 @@ def _load_all() -> None:
     from .plans import advanced3  # noqa: F401  # round-4 additions
     from .plans import advanced4  # noqa: F401  # round-6 additions
     from .operators import traindata5  # noqa: F401  # round-6 additions
+    from .plans import advanced5  # noqa: F401  # round-6 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
