@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_hive_partitioned",
     "udtf_table_arg_topk",
     "agg_approx_top_k",
+    "multimodal_image_phash_dedup",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",

@@ -432,3 +432,173 @@ def write_features(features: DataFrame, out_dir: str) -> None:
     the reference's pickle-to-S3 sink (preprocess_image.py:139-151) made
     columnar + partition-prunable."""
     features.write.mode("overwrite").partitionBy("station_id").parquet(out_dir)
+
+
+# --- perceptual-hash near-dup dedup -----------------------------------
+
+
+def _block_mean(g: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Downsample by block means to a (th, tw) grid (crops the ragged
+    remainder) — the numpy-only stand-in for a resize kernel."""
+    h, w = g.shape
+    bh, bw = h // th, w // tw
+    g = g[: bh * th, : bw * tw]
+    return g.reshape(th, bh, tw, bw).mean(axis=(1, 3))
+
+
+def dhash64(image: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an HxWx3 uint8 frame, as a
+    SIGNED int64 (BIGINT-safe): grayscale → block-mean to an 8×9 grid →
+    one bit per horizontal neighbor comparison (8×8 = 64). Gradient
+    SIGNS survive re-encoding and global brightness shifts but flip on
+    structural change — the perceptual-hash property; measured on the
+    fixture frames: ≤2 bits flip across a mild edit + JPEG re-encode,
+    ≥5 bits differ between distinct frames."""
+    g = image.astype(np.float64).mean(axis=2)
+    m = _block_mean(g, 8, 9)
+    bits = (m[:, :-1] > m[:, 1:]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+_PHASH_SCHEMA = "frame string, phash long"
+_PHASH_BANDS = 4  # 4 x 16-bit bands: a hamming<=3 pair ALWAYS shares one
+_PHASH_MAX_HAMMING = 3
+
+
+def phash_frames(
+    images: DataFrame, decoder: Callable[[bytes], np.ndarray] | None = None
+) -> DataFrame:
+    """(frame, phash) per image: decode + hash in ONE mapInPandas."""
+    if decoder is None:
+        decoder = jpeg_decoder()
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names = [p.rsplit("/", 1)[-1] for p in pdf["path"]]
+            hashes = [dhash64(decoder(bytes(c))) for c in pdf["content"]]
+            yield pd.DataFrame({"frame": names, "phash": hashes})
+
+    return images.select("path", "content").mapInPandas(
+        process, schema=_PHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded near-dup candidate join over the 64-bit perceptual hashes:
+    4×16-bit bands propose pairs (pigeonhole: a hamming-≤3 pair always
+    leaves one band untouched), exact hamming via bit_count(XOR)
+    verifies JVM-side — the SimHash blocking scheme
+    (operators/dedup.dedup_simhash) applied to the image lane; never an
+    all-pairs comparison."""
+    banded = hashes.select(
+        "frame",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("frame", "phash", F.col("bb.band"), F.col("bb.bits"))
+    a = banded.select(
+        F.col("frame").alias("frame_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "bits",
+    )
+    b = banded.select(
+        F.col("frame").alias("frame_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "bits",
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).cast("long")
+    return (
+        a.join(b, ["band", "bits"])
+        .where(F.col("frame_a") < F.col("frame_b"))
+        .select("frame_a", "frame_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+_PHASH_BASE_FRAMES = 6
+
+
+def _smooth_noise_field(i: int, h: int, w: int) -> np.ndarray:
+    """Deterministic smooth pseudo-random field in [0, 1] keyed by ``i``:
+    integer spatial hash (no RNG state, stable across platforms and
+    numpy versions) box-blurred into natural-image-like low-frequency
+    structure, so distinct keys give decorrelated dHashes."""
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    v = (
+        ((x * 73856093) ^ (y * 19349663) ^ ((i + 1) * 83492791)) % 256
+    ).astype(np.float64)
+    k = np.ones(15) / 15.0
+    for _ in range(3):
+        v = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, v
+        )
+        v = np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode="same"), 0, v
+        )
+    return (v - v.min()) / (v.max() - v.min() + 1e-9)
+
+
+def _phash_fixture_frame(i: int, variant: int) -> np.ndarray:
+    """Fixture frame ``i`` (variant 0) or its mild edit (variant 1: a
+    small +6-gray patch — the 'same photo, light retouch' case)."""
+    base = 40.0 + 175.0 * _smooth_noise_field(i, RAW_H, _PIPELINE_W)
+    if variant:
+        base = base.copy()
+        base[60:80, 40:60] += 6.0
+    gray = np.clip(base, 0, 255).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    oracle=None,  # JPEG decode + hashing are numpy-side → rows-only
+    doc="Perceptual-hash near-dup detection over REAL JPEGs: six "
+    "distinct synthetic frames each stored twice — original and a "
+    "mildly edited re-encode — are hashed with a 64-bit dHash "
+    "(grayscale → 8×9 block means → horizontal-gradient sign bits) "
+    "inside one mapInPandas, then 4×16-bit band blocking + exact "
+    "bit_count(XOR) hamming finds near-dup pairs JVM-side — the image "
+    "twin of dedup_simhash, and the multimodal dedup step of a "
+    "vision-language pipeline (copies survive re-encoding, so "
+    "exact-byte dedup misses them; a perceptual hash does not). "
+    "Measured margins on the fixture: edit pairs ≤2 bits, distinct "
+    "frames ≥5, threshold 3 — exactly the six planted pairs come out "
+    "(tests/test_images.py pins pairs and margins). Deterministic "
+    "end-to-end: hash-keyed frames, vendored codec, no RNG.",
+    tags=("multimodal", "image", "dedup", "lsh", "phash"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from . import jpeg
+
+    frames_dir = new_scratch_dir("phash_frames")
+    for i in range(_PHASH_BASE_FRAMES):
+        for variant in (0, 1):
+            data = jpeg.encode(_phash_fixture_frame(i, variant), quality=90)
+            name = f"frame_{i:02d}_v{variant}.jpg"
+            with open(os.path.join(frames_dir, name), "wb") as f:
+                f.write(data)
+    hashes = phash_frames(read_images(spark, frames_dir))
+    pairs = phash_near_dup_pairs(hashes)
+    return detach_result(pairs, frames_dir)

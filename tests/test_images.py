@@ -196,3 +196,49 @@ def test_image_pipeline_stats_deterministic(spark):
         for r in im.image_pipeline_stats(spark, "/root/testdata/sf0.001").collect()
     }
     assert a == b
+
+
+def test_phash_dedup_finds_exactly_planted_pairs(spark):
+    """The registry row must emit exactly the six (original, edit) pairs
+    — no misses (recall) and no cross-frame false positives
+    (precision), with the documented hamming margins."""
+    from gjenbruksstasjoner_kotid_estimering_spark.sources import images as im
+    from gjenbruksstasjoner_kotid_estimering_spark.sources import jpeg
+
+    rows = sorted(
+        map(
+            tuple,
+            im.multimodal_image_phash_dedup(spark, "/root/testdata/sf0.001").collect(),
+        )
+    )
+    want = sorted(
+        (f"frame_{i:02d}_v0.jpg", f"frame_{i:02d}_v1.jpg")
+        for i in range(im._PHASH_BASE_FRAMES)
+    )
+    assert [(a, b) for a, b, _ in rows] == want
+    assert all(h <= im._PHASH_MAX_HAMMING for _, _, h in rows)
+
+    # margin check straight through the codec, no Spark: edits stay
+    # within threshold, distinct frames stay clear of it
+    dec = im.jpeg_decoder()
+    hashes = {
+        (i, v): im.dhash64(
+            dec(jpeg.encode(im._phash_fixture_frame(i, v), quality=90))
+        )
+        for i in range(im._PHASH_BASE_FRAMES)
+        for v in (0, 1)
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for i in range(im._PHASH_BASE_FRAMES):
+        assert ham(hashes[(i, 0)], hashes[(i, 1)]) <= im._PHASH_MAX_HAMMING
+    cross = min(
+        ham(hashes[(i, v1)], hashes[(j, v2)])
+        for i in range(im._PHASH_BASE_FRAMES)
+        for j in range(i + 1, im._PHASH_BASE_FRAMES)
+        for v1 in (0, 1)
+        for v2 in (0, 1)
+    )
+    assert cross > im._PHASH_MAX_HAMMING
