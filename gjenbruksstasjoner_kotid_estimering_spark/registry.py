@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_table_arg_topk",
     "agg_approx_top_k",
     "multimodal_image_phash_dedup",
+    "stream_file_sink_exactly_once",
     # (c) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",
@@ -180,6 +181,7 @@ def _load_all() -> None:
         setops,
     )
     from .streaming import windows as stream_windows  # noqa: F401
+    from .streaming import filesink  # noqa: F401  # round-6 additions
     from .ml import models  # noqa: F401
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions
