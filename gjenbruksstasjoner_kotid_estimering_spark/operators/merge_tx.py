@@ -800,13 +800,17 @@ def _seed_and_merges(
 
 
 def _build_seed_and_merges(
-    spark: SparkSession, sf_dir: str, mods: tuple[int, ...]
+    spark: SparkSession,
+    sf_dir: str,
+    mods: tuple[int, ...],
+    table_dir: str | None = None,
 ) -> str:
-    name = "merge_seed_{}_{}".format(
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
-        "_".join(map(str, mods)),
-    )
-    table_dir = os.path.join(process_cache_dir(), name)
+    if table_dir is None:
+        name = "merge_seed_{}_{}".format(
+            os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+            "_".join(map(str, mods)),
+        )
+        table_dir = os.path.join(process_cache_dir(), name)
     # a crashed earlier build in THIS process may have left a partial
     # table; the lock in the caller makes this remove-and-rebuild safe
     shutil.rmtree(table_dir, ignore_errors=True)
@@ -1816,3 +1820,151 @@ def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detach_result(
         snap.select("c_custkey", "acctbal_cents", "merged"), table_dir
     )
+
+
+@register(
+    "merge_tx_vacuum_retention",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(-1 AS BIGINT) AS n_rows,
+               CAST(-1 AS BIGINT) AS n_merged,
+               CAST(-1 AS BIGINT) AS acctbal_sum_cents
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM v2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM v3
+    """,
+    doc="VACUUM with a retention window — the lakehouse GC contract: on "
+    "a private 3-version table (seed + %7 + %5 MERGEs, same states as "
+    "merge_tx_time_travel), vacuum(retain_versions=2, min_age=0) "
+    "deletes every data file referenced ONLY by v1. The builder then "
+    "PROVES all three GC postconditions before returning: (a) >=1 file "
+    "was actually deleted (copy-on-write guarantees v1-only files "
+    "exist — the %7 merge rewrote those partitions), (b) reading v1 "
+    "now RAISES (its manifest references deleted files — sentinel row "
+    "version=1 / -1s records the enforced failure), (c) v2 and v3 "
+    "read back bit-exact, which the oracle hash verifies against the "
+    "relationally recomputed states. Disk stops growing without "
+    "bound while time travel keeps working inside the window — the "
+    "only sustainable posture for a 100 TB table taking thousands of "
+    "commits a day. Uses a per-invocation scratch table, NOT the "
+    "shared cached fixture (vacuum mutates disk; the cached table's "
+    "other readers rely on all versions staying live).",
+    tags=("sink", "merge", "transaction", "vacuum", "gc"),
+)
+def merge_tx_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_vacuum_{sf_tag}")
+    _build_seed_and_merges(spark, sf_dir, (7, 5), table_dir=table_dir)
+    deleted = vacuum(table_dir, retain_versions=2, min_age_seconds=0.0)
+    if not deleted:
+        raise AssertionError(
+            "vacuum deleted no files — v1-only data files must exist "
+            "after two copy-on-write MERGE commits"
+        )
+    try:
+        snapshot_at(spark, table_dir, 1).count()
+    except Exception:
+        pass  # expected: v1's manifest references vacuumed files
+    else:
+        raise AssertionError(
+            "v1 read succeeded after vacuum(retain_versions=2) — "
+            "retention was not enforced"
+        )
+    sentinel = spark.range(1).select(
+        F.lit(1).cast("long").alias("version"),
+        F.lit(-1).cast("long").alias("n_rows"),
+        F.lit(-1).cast("long").alias("n_merged"),
+        F.lit(-1).cast("long").alias("acctbal_sum_cents"),
+    )
+    out = sentinel
+    for v in (2, 3):
+        snap = snapshot_at(spark, table_dir, v)
+        out = out.unionAll(
+            snap.agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col("merged")).alias("n_merged"),
+                F.sum("acctbal_cents").alias("acctbal_sum_cents"),
+            )
+        )
+    return detach_result(out, table_dir)
+
+
+def restore_version(spark: SparkSession, table_dir: str, version: int) -> int:
+    """RESTORE: roll the table back to ``version`` by committing that
+    version's manifest (files + stats) again as a NEW version — history
+    is preserved, nothing is rewritten or deleted (Delta Lake's RESTORE
+    semantics). Copy-on-write makes this O(1): the new commit merely
+    re-references the old immutable data files — which also re-protects
+    them from vacuum(), since liveness is manifest-reachability.
+    Returns the new version number. Retries on VersionConflict so a
+    concurrent writer cannot starve the restore."""
+    body = _read_commit(table_dir, version)
+    while True:
+        new_v = current_version(table_dir) + 1
+        try:
+            _try_commit(
+                table_dir,
+                new_v,
+                body["files"],
+                stats_col=body.get("stats_col"),
+                stats=body.get("stats"),
+            )
+            return new_v
+        except VersionConflict:
+            continue
+
+
+@register(
+    "merge_tx_restore_version",
+    oracle=f"""
+        WITH {_VERSIONED_STATES_SQL}
+        SELECT CAST(3 AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT) AS n_merged,
+               CAST(sum(cents) AS BIGINT) AS acctbal_sum_cents
+        FROM v3
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE merged) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM v2
+    """,
+    doc="RESTORE to an earlier version as a NEW commit: on a private "
+    "3-version table (same states as merge_tx_time_travel), "
+    "restore_version(2) commits v2's manifest again as v4 — a pure "
+    "metadata operation (no data movement, O(1) at any table size), "
+    "after which the CURRENT read serves v2's state while v3 stays "
+    "time-travelable (the row for version 3 is read AFTER the "
+    "restore). The oracle recomputes both states relationally: the "
+    "version-4 branch must equal v2 bit-for-bit, proving rollback "
+    "re-references rather than recomputes. The un-rewind everyone "
+    "needs the day a bad MERGE lands on a 100 TB table.",
+    tags=("sink", "merge", "transaction", "restore"),
+)
+def merge_tx_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    table_dir = new_scratch_dir(f"merge_restore_{sf_tag}")
+    _build_seed_and_merges(spark, sf_dir, (7, 5), table_dir=table_dir)
+    new_v = restore_version(spark, table_dir, 2)
+    if new_v != 4:
+        raise AssertionError(f"expected restore to commit v4, got v{new_v}")
+    out = None
+    for v in (3, new_v):  # v3 read AFTER the restore: history intact
+        snap = snapshot_at(spark, table_dir, v)
+        summary = snap.agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("merged")).alias("n_merged"),
+            F.sum("acctbal_cents").alias("acctbal_sum_cents"),
+        )
+        out = summary if out is None else out.unionAll(summary)
+    return detach_result(out, table_dir)

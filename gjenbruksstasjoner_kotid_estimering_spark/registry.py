@@ -67,9 +67,26 @@ _PRIORITY: tuple[str, ...] = (
     # (a) the r4/r5 red row: oracle dtype fix landed last round but the
     # driver has not yet confirmed it — re-verify first
     "merge_tx_time_travel",
-    # (b) never-driver-sampled: the post-r5-snapshot wave (12) + this
-    # round's 8 additions (runtime bloom, z-order skipping, fuzzy/geo
-    # blocked joins, weighted median, OHLC, DQ suite, skew profile)
+    # (b) never-driver-sampled, newest wave first: this round's 8
+    # (observe metrics, GROUP BY ALL, multiset set-ops, exact
+    # covariance, cume_dist deciles, touch attribution, mergeSchema
+    # read, vacuum retention) ...
+    "scan_observe_metrics",
+    "sql_group_by_all",
+    "set_intersect_except_all",
+    "stat_corr_covar_exact",
+    "window_cume_dist_deciles",
+    "events_attribution_touch",
+    "scan_parquet_merge_schema",
+    "merge_tx_vacuum_retention",
+    "scan_jsonl_roundtrip",
+    "dedup_text_normalized",
+    "window_time_range_rolling",
+    "sample_repeat_epochs",
+    "merge_tx_restore_version",
+    # ... then the prior session's still-unsampled additions (runtime
+    # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
+    # median, OHLC, DQ suite, skew profile)
     "merge_tx_evolve_conditional",
     "merge_tx_when_matched_delete",
     "merge_tx_sync_delete_scope",
@@ -202,6 +219,8 @@ def _load_all() -> None:
     from .plans import advanced4  # noqa: F401  # round-6 additions
     from .operators import traindata5  # noqa: F401  # round-6 additions
     from .plans import advanced5  # noqa: F401  # round-6 additions
+    from .plans import advanced6  # noqa: F401  # round-7 additions
+    from .plans import advanced7  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
