@@ -1822,6 +1822,33 @@ def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _private_table_copy(
+    spark: SparkSession, sf_dir: str, mods: tuple[int, ...], dest_dir: str
+) -> str:
+    """A PRIVATE physical copy of the shared cached fixture table, for
+    registry rows that MUTATE disk state (vacuum, restore-then-vacuum):
+    they must never touch the process-cached table other readers rely
+    on, but rebuilding three versions with two MERGE jobs per
+    invocation costs seconds at sf0.1 — a straight file copy plus a
+    manifest path rewrite is milliseconds. Manifests store absolute
+    data-file paths, so each commit JSON is rewritten (files list and
+    per-file stats keys) to point inside the copy."""
+    src = _seed_and_merges(spark, sf_dir, "priv", mods)
+    shutil.copytree(os.path.join(src, _DATA), os.path.join(dest_dir, _DATA))
+    os.makedirs(os.path.join(dest_dir, _COMMITS), exist_ok=True)
+    for v in range(1, current_version(src) + 1):
+        body = _read_commit(src, v)
+        body["files"] = [f.replace(src, dest_dir, 1) for f in body["files"]]
+        if "stats" in body:
+            body["stats"] = {
+                k.replace(src, dest_dir, 1): val
+                for k, val in body["stats"].items()
+            }
+        with open(_commit_path(dest_dir, v), "w") as f:
+            json.dump(body, f, indent=0)
+    return dest_dir
+
+
 @register(
     "merge_tx_vacuum_retention",
     oracle=f"""
@@ -1862,7 +1889,8 @@ def merge_tx_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def merge_tx_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = new_scratch_dir(f"merge_vacuum_{sf_tag}")
-    _build_seed_and_merges(spark, sf_dir, (7, 5), table_dir=table_dir)
+    shutil.rmtree(table_dir)  # copytree needs a non-existent destination
+    _private_table_copy(spark, sf_dir, (7, 5), table_dir)
     deleted = vacuum(table_dir, retain_versions=2, min_age_seconds=0.0)
     if not deleted:
         raise AssertionError(
@@ -1953,7 +1981,8 @@ def restore_version(spark: SparkSession, table_dir: str, version: int) -> int:
 def merge_tx_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     table_dir = new_scratch_dir(f"merge_restore_{sf_tag}")
-    _build_seed_and_merges(spark, sf_dir, (7, 5), table_dir=table_dir)
+    shutil.rmtree(table_dir)  # copytree needs a non-existent destination
+    _private_table_copy(spark, sf_dir, (7, 5), table_dir)
     new_v = restore_version(spark, table_dir, 2)
     if new_v != 4:
         raise AssertionError(f"expected restore to commit v4, got v{new_v}")

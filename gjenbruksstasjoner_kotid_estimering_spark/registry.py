@@ -84,6 +84,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_time_range_rolling",
     "sample_repeat_epochs",
     "merge_tx_restore_version",
+    "join_dynamic_partition_pruning",
+    "text_feature_hashing",
+    "scan_csv_permissive_corrupt",
+    "text_vocab_zipf_stats",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -221,6 +225,7 @@ def _load_all() -> None:
     from .plans import advanced5  # noqa: F401  # round-6 additions
     from .plans import advanced6  # noqa: F401  # round-7 additions
     from .plans import advanced7  # noqa: F401  # round-7 additions
+    from .plans import advanced8  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---

@@ -1,0 +1,112 @@
+"""Round-7 wave 3: dynamic partition pruning, feature hashing,
+permissive CSV, Zipf vocab stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark.functions.text import tokens_col
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+import shutil
+
+from gjenbruksstasjoner_kotid_estimering_spark.plans import advanced8 as a8
+
+from conftest import SF0001
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The SAME join reads 5 partition-files without DPP and only the
+    dim-selected 2 with it — runtime numFiles, not the static listing."""
+    scratch = a8._write_dpp_fixture(spark, SF0001)
+    try:
+        def run(dpp_on: bool):
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                str(dpp_on).lower(),
+            )
+            j = a8._dpp_join(spark, scratch)
+            rows = sorted(map(tuple, j.collect()))
+            return rows, a8.final_scan_metric(j, f"{scratch}/fact", "numFiles")
+
+        rows_off, files_off = run(False)
+        rows_on, files_on = run(True)
+        assert rows_on == rows_off  # pruning never changes the answer
+        assert files_off == 5  # one file per event_type partition
+        assert files_on == 2  # only the two 'conversion' partitions
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    out = a8.text_feature_hashing(spark, SF0001).collect()
+    docs = load_table(spark, SF0001, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n")
+    ).collect()[0].n
+    n_docs = docs.count()
+    assert sum(r.n_tokens for r in out) == total_tokens
+    for r in out:
+        assert 0 <= r.bucket < a8.N_FEATURE_BUCKETS
+        assert 1 <= r.n_docs <= n_docs
+
+
+def test_permissive_csv_quarantines_exactly_the_bad_lines(spark):
+    out = {r.status: (r.n_rows, r.cents_sum)
+           for r in a8.scan_csv_permissive_corrupt(spark, SF0001).collect()}
+    orders = load_table(spark, SF0001, "orders")
+    want = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out["_corrupt"] == (a8.N_BAD_LINES, None)
+    for status, n in want.items():
+        assert out[status][0] == n
+
+
+def test_csv_column_pruning_hides_unreferenced_corruption(spark, tmp_path):
+    """Regression-documenting test for the gotcha the builder routes
+    around: a line malformed ONLY in an unreferenced position parses
+    clean under required-schema pruning — the quarantine sees nothing."""
+    p = tmp_path / "feed.csv"
+    p.write_text("1,100,O\nnot_a_number,200,F\n")
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, cents long, status string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    # query referencing only (cents, status, _corrupt): the bad first
+    # field is never converted, so NO row is quarantined
+    pruned = parsed.select("cents", "status", "_corrupt").collect()
+    assert all(r._corrupt is None for r in pruned)
+    # the full-width read converts every field and catches it
+    full = parsed.collect()
+    assert sum(r._corrupt is not None for r in full) == 1
+
+
+def test_zipf_ranks_partition_and_cover_the_corpus(spark):
+    out = sorted(
+        a8.text_vocab_zipf_stats(spark, SF0001).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    running = 0
+    for r in out:
+        running += r.cnt
+        assert r.cum_cnt == running
+    total_tokens = (
+        load_table(spark, SF0001, "documents")
+        .select(F.sum(F.size(tokens_col(F.col("text")))).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert out[-1].cum_cnt == total_tokens
