@@ -247,3 +247,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --- BFS shortest hop distance ------------------------------------------
+
+BFS_MAX_DEPTH = 4
+BFS_SEED_SUPPKEY = 0
+
+
+def bfs_distances(
+    edges: DataFrame, seed: DataFrame, max_depth: int
+) -> DataFrame:
+    """Breadth-first shortest HOP distance over a bipartite
+    supplier—part graph expressed as pure DataFrame rounds.
+
+    ``edges`` is the distinct (s, p) relation; nodes are namespaced
+    strings ('s:<k>' / 'p:<k>'). Because the graph is bipartite, the
+    frontier strictly alternates sides, so each round is ONE join
+    against the side the frontier can actually reach — no undirected
+    edge doubling, no same-side self-joins. The frontier is always tiny
+    relative to the edge relation and is BROADCAST, so a round costs
+    one broadcast-hash-join plus a distinct: the edge relation is never
+    shuffled at all, which is the property that survives 100 TB (edges
+    stay put; only the node-sized frontier moves). localCheckpoint per
+    round keeps the lineage flat (clusters.py/graph.py convention).
+    BFS visits each node first at its minimal depth and the frontier
+    excludes visited nodes, so the emitted dist IS the shortest hop
+    count."""
+    visited = seed.localCheckpoint(eager=True)  # (node, dist)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        on_suppliers = depth % 2 == 1  # seed is a supplier; sides alternate
+        key, out = ("s", "p") if on_suppliers else ("p", "s")
+        nxt = (
+            edges.join(
+                F.broadcast(
+                    frontier.select(
+                        F.split_part(F.col("node"), F.lit(":"), F.lit(2))
+                        .cast("long")
+                        .alias(key)
+                    )
+                ),
+                key,
+            )
+            .select(
+                F.concat(F.lit(f"{out}:"), F.col(out)).alias("node"),
+                F.lit(depth).cast("long").alias("dist"),
+            )
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), bfs AS (
+          SELECT 's:' || CAST({BFS_SEED_SUPPKEY} AS VARCHAR) AS node,
+                 0 AS dist
+          UNION
+          SELECT nxt, dist + 1 FROM (
+            SELECT CASE WHEN b.node LIKE 's:%'
+                        THEN 'p:' || CAST(e.p AS VARCHAR)
+                        ELSE 's:' || CAST(e.s AS VARCHAR) END AS nxt,
+                   b.dist AS dist
+            FROM bfs b JOIN edges e
+              ON (b.node = 's:' || CAST(e.s AS VARCHAR))
+              OR (b.node = 'p:' || CAST(e.p AS VARCHAR))
+          ) WHERE dist < {BFS_MAX_DEPTH}
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node
+    """,
+    doc="BFS shortest hop distance from supplier 0 over the bipartite "
+    "supplier—part co-supply graph (distinct lineitem pairs), depth-"
+    "capped at 4 — the iterative-traversal family (frontier expansion) "
+    "alongside PageRank (fixed-point) and connected components "
+    "(label exchange). Spark side: one BROADCAST join of the "
+    "node-sized frontier against the stationary edge relation per "
+    "round — edges are never shuffled; depth alternation exploits "
+    "bipartiteness so each round joins only the reachable side. "
+    "Oracle: DuckDB recursive CTE with UNION dedup and min(dist) "
+    "collapse — an exact, engine-independent restatement of BFS. "
+    "Exact integer distances, no floats anywhere.",
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # one scan, reused every round
+    )
+    seed = spark.range(1).select(
+        F.lit(f"s:{BFS_SEED_SUPPKEY}").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    return bfs_distances(edges, seed, BFS_MAX_DEPTH)

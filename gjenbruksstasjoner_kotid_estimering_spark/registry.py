@@ -88,6 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_feature_hashing",
     "scan_csv_permissive_corrupt",
     "text_vocab_zipf_stats",
+    "graph_bfs_distance",
+    "multimodal_image_tiles",
+    "stream_jsonl_ingest_true",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -203,6 +206,7 @@ def _load_all() -> None:
     )
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import filesink  # noqa: F401  # round-6 additions
+    from .streaming import jsonl  # noqa: F401  # round-7 additions
     from .ml import models  # noqa: F401
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions

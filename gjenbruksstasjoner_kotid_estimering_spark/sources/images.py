@@ -602,3 +602,113 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = phash_frames(read_images(spark, frames_dir))
     pairs = phash_near_dup_pairs(hashes)
     return detach_result(pairs, frames_dir)
+
+
+# --- ViT-style patch extraction -----------------------------------------
+
+TILE = 16  # patch side (the ViT-Base convention)
+_TILES_FRAMES = 6
+
+_TILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("tile_row", LongType()),
+        StructField("tile_col", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_r", LongType()),
+    ]
+)
+
+
+def image_tiles(
+    images: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    tile: int = TILE,
+) -> DataFrame:
+    """Patchify decoded frames into non-overlapping ``tile``x``tile``
+    blocks (zero-padded at the bottom/right edges) — the ViT/patch-
+    embedding prep shape: ONE input row (a whole image) explodes into
+    ceil(h/t)*ceil(w/t) patch rows inside a single ``mapInPandas`` pass,
+    so the fan-out happens executor-side with Arrow batches, never on
+    the driver. Per patch: the exact integer pixel checksum and the
+    per-channel sums (the downstream embedding stub's input statistics).
+    The reshape is one numpy stride trick per image — no per-pixel
+    Python."""
+    if decoder is None:
+        decoder = jpeg_decoder()
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "path", "tile_row", "tile_col",
+                "px_sum", "sum_b", "sum_g", "sum_r",
+            )}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decoder(bytes(content)).astype(np.int64)
+                h, w, _ = img.shape
+                nr, nc = -(-h // tile), -(-w // tile)
+                padded = np.zeros((nr * tile, nc * tile, 3), dtype=np.int64)
+                padded[:h, :w] = img
+                # (nr, tile, nc, tile, 3) → per-tile channel sums in one
+                # vectorized reduction
+                blocks = padded.reshape(nr, tile, nc, tile, 3)
+                csum = blocks.sum(axis=(1, 3))  # (nr, nc, 3)
+                for r in range(nr):
+                    for c in range(nc):
+                        out["path"].append(path)
+                        out["tile_row"].append(r)
+                        out["tile_col"].append(c)
+                        out["sum_b"].append(int(csum[r, c, 0]))
+                        out["sum_g"].append(int(csum[r, c, 1]))
+                        out["sum_r"].append(int(csum[r, c, 2]))
+                        out["px_sum"].append(int(csum[r, c].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("path", "content").mapInPandas(
+        patchify, schema=_TILE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle=None,  # real JPEG decode is numpy-side → rows-only by design
+    doc="ViT-style patch extraction over real JPEGs: the same "
+    "deterministic synthetic frames as image_pipeline_stats are "
+    "encoded with the vendored T.81 codec, scanned via binaryFile, "
+    "and ONE mapInPandas pass decodes each frame and explodes it into "
+    "16x16 patches with exact integer checksums and per-channel sums "
+    "— 1 row in, ceil(240/16)*ceil(128/16)=120 rows out, fan-out "
+    "executor-side. tests/test_media.py pins conservation (tile "
+    "checksums sum back to the whole-image checksum, zero padding "
+    "adds nothing) and the grid shape. At 100 TB this is the step "
+    "between a blob store scan and patch-embedding inference; the "
+    "patch rows shuffle-partition freely because each carries its "
+    "(path, row, col) identity.",
+    tags=("multimodal", "image", "tiles", "vit"),
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from . import jpeg
+
+    frames_dir = new_scratch_dir("tiles")
+    for i in range(_TILES_FRAMES):
+        sid = 41 + (i % 2)
+        ts = f"202005{(i % 9) + 1:02d}T09{i % 60:02d}00"
+        data = jpeg.encode(_synthetic_frame(i), quality=90)
+        with open(
+            os.path.join(frames_dir, f"station_id_{sid}_{ts}.jpg"), "wb"
+        ) as f:
+            f.write(data)
+    tiles = image_tiles(read_images(spark, frames_dir)).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("frame"),
+        "tile_row",
+        "tile_col",
+        "px_sum",
+        "sum_b",
+        "sum_g",
+        "sum_r",
+    )
+    return detach_result(tiles, frames_dir)

@@ -110,3 +110,62 @@ def test_zipf_ranks_partition_and_cover_the_corpus(spark):
         .n
     )
     assert out[-1].cum_cnt == total_tokens
+
+
+def test_bfs_distances_match_brute_force(spark):
+    """Spark BFS equals a driver-side BFS over the same edge set."""
+    from collections import deque
+
+    from gjenbruksstasjoner_kotid_estimering_spark.operators import graph
+
+    li = load_table(spark, SF0001, "lineitem")
+    edges = {
+        (r.l_suppkey, r.l_partkey)
+        for r in li.select("l_suppkey", "l_partkey").distinct().collect()
+    }
+    adj = {}
+    for s, p in edges:
+        adj.setdefault(f"s:{s}", set()).add(f"p:{p}")
+        adj.setdefault(f"p:{p}", set()).add(f"s:{s}")
+    want = {f"s:{graph.BFS_SEED_SUPPKEY}": 0}
+    q = deque([(f"s:{graph.BFS_SEED_SUPPKEY}", 0)])
+    while q:
+        node, d = q.popleft()
+        if d == graph.BFS_MAX_DEPTH:
+            continue
+        for nxt in adj.get(node, ()):
+            if nxt not in want:
+                want[nxt] = d + 1
+                q.append((nxt, d + 1))
+    got = {
+        r.node: r.dist
+        for r in graph.graph_bfs_distance(spark, SF0001).collect()
+    }
+    assert got == want
+
+
+def test_stream_jsonl_ingest_matches_batch(spark):
+    """The multi-micro-batch streaming aggregate equals the batch one."""
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming import jsonl
+
+    got = sorted(
+        map(tuple, jsonl.stream_jsonl_ingest_true(spark, SF0001).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF0001, "documents")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("chars_sum"),
+                F.sum(
+                    F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast(
+                        "long"
+                    )
+                ).alias("text_fp_sum"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
