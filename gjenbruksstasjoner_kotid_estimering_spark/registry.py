@@ -91,6 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_bfs_distance",
     "multimodal_image_tiles",
     "stream_jsonl_ingest_true",
+    "sink_dynamic_partition_overwrite",
+    "timeseries_merge_intervals",
+    "udf_arrow_scalar",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -230,6 +233,7 @@ def _load_all() -> None:
     from .plans import advanced6  # noqa: F401  # round-7 additions
     from .plans import advanced7  # noqa: F401  # round-7 additions
     from .plans import advanced8  # noqa: F401  # round-7 additions
+    from .plans import advanced9  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
