@@ -210,3 +210,51 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_name")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# --- modern selective aggregates: max_by / min_by ---------------------------
+
+
+@register(
+    "agg_max_by_min_by",
+    oracle="""
+        SELECT c_nationkey AS nationkey,
+               CAST(max_by(c_custkey, ord) AS BIGINT) AS richest_custkey,
+               CAST(min_by(c_custkey, ord) AS BIGINT) AS poorest_custkey,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(min(cents) AS BIGINT) AS min_cents
+        FROM (
+          SELECT c_nationkey, c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                 CAST(round(c_acctbal * 100) AS BIGINT) * 100000
+                     + c_custkey AS ord
+          FROM customer
+        )
+        GROUP BY c_nationkey
+    """,
+    doc="max_by/min_by (SQL:2023 ANY_VALUE-family selective aggregates): "
+    "the argmax/argmin that replaces the rank-then-filter window "
+    "pattern with ONE map-side-combinable aggregate — no sort, no "
+    "window exchange, which at 100 TB is the difference between a "
+    "partial-aggregating scan and a full shuffle+sort. Ties broken "
+    "DETERMINISTICALLY by ordering on cents*100000+custkey — bare "
+    "max_by on a tied value is engine-arbitrary (the any_value "
+    "nondeterminism class), and DuckDB's max_by rejects STRUCT "
+    "ordering values, so the portable tiebreak is the composite "
+    "integer (custkey < 100000 at every tested sf; widen the factor "
+    "with the key space).",
+    tags=("agg", "selective"),
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    key = F.col("cents") * 100000 + F.col("c_custkey")
+    return c.groupBy("nationkey").agg(
+        F.max_by("c_custkey", key).alias("richest_custkey"),
+        F.min_by("c_custkey", key).alias("poorest_custkey"),
+        F.max("cents").alias("max_cents"),
+        F.min("cents").alias("min_cents"),
+    )

@@ -94,6 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "sink_dynamic_partition_overwrite",
     "timeseries_merge_intervals",
     "udf_arrow_scalar",
+    "stream_static_enrich_true",
+    "agg_max_by_min_by",
+    "txn_multi_table_atomic",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -210,6 +213,7 @@ def _load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import filesink  # noqa: F401  # round-6 additions
     from .streaming import jsonl  # noqa: F401  # round-7 additions
+    from .streaming import enrich  # noqa: F401  # round-7 additions
     from .ml import models  # noqa: F401
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions
@@ -234,6 +238,7 @@ def _load_all() -> None:
     from .plans import advanced7  # noqa: F401  # round-7 additions
     from .plans import advanced8  # noqa: F401  # round-7 additions
     from .plans import advanced9  # noqa: F401  # round-7 additions
+    from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
     # --- driver-green in round 1 ---
