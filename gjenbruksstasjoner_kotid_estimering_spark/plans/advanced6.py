@@ -52,7 +52,17 @@ from ..scratch import detach_result, new_scratch_dir
     tags=("scan", "observability", "scale"),
 )
 def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # The observed action runs on an ISOLATED child session: a completed
+    # Observation can linger in the session's ObservationManager long
+    # enough (py4j release lag) that a LATER unrelated job on the same
+    # session dies with "Task not serializable:
+    # org.apache.spark.sql.classic.ObservationManager" when its closure
+    # cleaner walks the session state (observed: MLlib
+    # BinaryClassificationEvaluator.evaluate right after this query).
+    # newSession() shares the SparkContext but owns its manager, so the
+    # caller's session stays clean no matter when the JVM object dies.
+    ns = spark.newSession()
+    li = load_table(ns, sf_dir, "lineitem")
     obs = Observation(f"scan_metrics_{uuid.uuid4().hex[:8]}")
     observed = li.observe(
         obs,
