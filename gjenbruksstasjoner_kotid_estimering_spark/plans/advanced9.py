@@ -258,3 +258,69 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
         F.min("cents").alias("min_cents"),
     )
+
+
+# --- exact re-aggregatable distinct via bitmap words ------------------------
+
+
+@register(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+        WITH words AS (
+          SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+                 strftime(ts, '%Y-%m') AS month,
+                 user_id // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS word
+          FROM events
+          GROUP BY 1, 2, 3
+        )
+        SELECT 'day' AS level, day AS bucket,
+               CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+        FROM words GROUP BY day
+        UNION ALL
+        SELECT 'month', month,
+               CAST(sum(bit_count(word)) AS BIGINT)
+        FROM (
+          SELECT month, word_idx, bit_or(word) AS word
+          FROM words GROUP BY month, word_idx
+        ) GROUP BY month
+    """,
+    doc="EXACT distinct-user rollup via bitmap words — the re-"
+    "aggregatable exact-distinct pattern (ClickHouse/Doris bitmap "
+    "aggregates, Roaring's dense case): users land as set bits in "
+    "32-bit-populated words keyed by user_id//32 (shift stays under "
+    "the signed-overflow guard DuckDB enforces at 1<<63), daily distinct = popcount "
+    "sum, and the MONTHLY level is computed by bit_or-MERGING the "
+    "daily words — never re-scanning the fact table, which is the "
+    "whole point: count(DISTINCT) partials are not mergeable, bitmap "
+    "partials are. At 100 TB the words relation is bounded by "
+    "(groups x keyspace/64), each coarser rollup level costs one "
+    "word-sized shuffle, and the counts stay EXACT where HLL would "
+    "approximate. The oracle replays the identical word math in "
+    "DuckDB, and both levels must hash-match the true distincts.",
+    tags=("agg", "distinct", "bitmap", "rollup", "scale"),
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        (F.col("user_id") / 32).cast("long").alias("word_idx"),
+        # F.shiftleft only takes a LITERAL bit count; the SQL form
+        # accepts a column
+        F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("day", "month", "word_idx").agg(
+        F.bit_or("bit").alias("word")
+    )
+    daily = words.groupBy("day").agg(
+        F.sum(F.bit_count("word")).alias("n_users")
+    ).select(F.lit("day").alias("level"), F.col("day").alias("bucket"), "n_users")
+    monthly_words = words.groupBy("month", "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+    monthly = monthly_words.groupBy("month").agg(
+        F.sum(F.bit_count("word")).alias("n_users")
+    ).select(
+        F.lit("month").alias("level"), F.col("month").alias("bucket"), "n_users"
+    )
+    return daily.unionAll(monthly)

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_static_enrich_true",
     "agg_max_by_min_by",
     "txn_multi_table_atomic",
+    "agg_bitmap_distinct_rollup",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)

@@ -118,3 +118,29 @@ def test_arrow_udf_runs_arrow_side_and_matches_sql(spark):
         )
     )
     assert got == want
+
+
+def test_bitmap_rollup_equals_count_distinct(spark):
+    out = a9.agg_bitmap_distinct_rollup(spark, SF0001).collect()
+    ev = load_table(spark, SF0001, "events")
+    want_day = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    want_month = {
+        r.month: r.n
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got_day = {r.bucket: r.n_users for r in out if r.level == "day"}
+    got_month = {r.bucket: r.n_users for r in out if r.level == "month"}
+    assert got_day == want_day
+    assert got_month == want_month
+    # the monthly level is a MERGE of daily words, so it must not be
+    # the sum of daily distincts (users repeat across days)
+    assert sum(want_day.values()) > sum(want_month.values())
