@@ -70,6 +70,15 @@ def txn_read_commit(root: str, version: int) -> dict[str, list[str]]:
         return json.load(f)["tables"]
 
 
+def txn_read_meta(root: str, version: int) -> dict:
+    """Application metadata carried by a commit (e.g. the streaming
+    batch ids already applied — the exactly-once dedup ledger)."""
+    if version == 0:
+        return {}
+    with open(_txn_path(root, version)) as f:
+        return json.load(f).get("meta", {})
+
+
 def txn_stage(df: DataFrame, root: str, table: str) -> list[str]:
     """Write ``df`` as immutable parquet files under the table's data
     area WITHOUT publishing them. Returns the staged file paths for a
@@ -84,16 +93,20 @@ def txn_stage(df: DataFrame, root: str, table: str) -> list[str]:
 
 
 def txn_commit(
-    root: str, version: int, tables: dict[str, list[str]]
+    root: str,
+    version: int,
+    tables: dict[str, list[str]],
+    meta: dict | None = None,
 ) -> None:
     """Atomically publish ``tables`` (EVERY member table's complete
     file list) as transaction ``version``. Raises VersionConflict if a
     concurrent writer already committed that version — optimistic
     concurrency, same contract as merge_tx._try_commit."""
     os.makedirs(os.path.join(root, _TXN), exist_ok=True)
-    payload = json.dumps(
-        {"version": version, "tables": tables}, indent=0
-    ).encode()
+    body = {"version": version, "tables": tables}
+    if meta is not None:
+        body["meta"] = meta
+    payload = json.dumps(body, indent=0).encode()
     final = _txn_path(root, version)
     tmp = f"{final}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:

@@ -228,3 +228,51 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(sup)
         spark.catalog.dropTempView(nat)
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+        SELECT l_returnflag AS rf,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        FROM lineitem
+        WHERE l_quantity >= 30 AND l_discount <= 0.05
+        GROUP BY l_returnflag
+    """,
+    doc="Spark 4 SQL session variables (SQL:2023 DECLARE / SET VARIABLE): "
+    "thresholds live as typed session state and the query references "
+    "them by name — the injection-safe alternative to f-string SQL "
+    "for ad-hoc parameterization (sql_parameterized covers the "
+    "parameter-marker form; variables persist across statements). "
+    "Catalyst folds the variable reference to its literal at analysis "
+    "time, so the plan is byte-identical to the constant query — "
+    "which the oracle states directly. Variables are dropped in a "
+    "finally so the shared session never leaks state between "
+    "registry queries.",
+    tags=("sql", "variables"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = f"lineitem_var_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    qty_var = f"qty_floor_{uuid.uuid4().hex[:8]}"
+    disc_var = f"disc_cap_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.sql(f"DECLARE VARIABLE {qty_var} INT")
+        spark.sql(f"SET VARIABLE {qty_var} = 30")
+        spark.sql(f"DECLARE VARIABLE {disc_var} DOUBLE")
+        spark.sql(f"SET VARIABLE {disc_var} = 0.05")
+        out = spark.sql(f"""
+            SELECT l_returnflag AS rf,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS qty_sum
+            FROM {view}
+            WHERE l_quantity >= {qty_var} AND l_discount <= {disc_var}
+            GROUP BY l_returnflag
+        """)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {qty_var}")
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {disc_var}")
+        spark.catalog.dropTempView(view)

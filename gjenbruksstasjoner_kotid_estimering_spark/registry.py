@@ -98,6 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_max_by_min_by",
     "txn_multi_table_atomic",
     "agg_bitmap_distinct_rollup",
+    "stream_txn_multi_table_true",
+    "sql_session_variables",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -215,6 +217,7 @@ def _load_all() -> None:
     from .streaming import filesink  # noqa: F401  # round-6 additions
     from .streaming import jsonl  # noqa: F401  # round-7 additions
     from .streaming import enrich  # noqa: F401  # round-7 additions
+    from .streaming import txn_stream  # noqa: F401  # round-7 additions
     from .ml import models  # noqa: F401
     from .plans import tpch2  # noqa: F401  # round-2 additions
     from .operators import traindata  # noqa: F401  # round-2 additions

@@ -111,3 +111,54 @@ def test_registry_row_conservation(spark):
         total_before - n_debited * txn.TRANSFER_CENTS,
     )
     assert out["audit"] == (n_debited, -n_debited * txn.TRANSFER_CENTS)
+
+
+def test_stream_txn_replayed_batch_is_noop(spark, root):
+    """foreachBatch at-least-once replays must not double-apply: the
+    batch-id ledger in the commit metadata dedupes them."""
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming import txn_stream
+
+    batch = spark.range(6).select(
+        (F.col("id") % 3).alias("user_id"), F.lit(10).alias("cents")
+    )
+    writer = txn_stream.txn_batch_writer(root)
+    writer(batch, 0)
+    v_after = txn.txn_current_version(root)
+    state = sorted(
+        map(tuple, txn.txn_snapshot(spark, root, "balances").collect())
+    )
+    writer(batch, 0)  # replay of the SAME batch id
+    assert txn.txn_current_version(root) == v_after  # no new commit
+    assert (
+        sorted(map(tuple, txn.txn_snapshot(spark, root, "balances").collect()))
+        == state
+    )
+    writer(batch, 1)  # a NEW batch id applies normally
+    doubled = sorted(
+        map(tuple, txn.txn_snapshot(spark, root, "balances").collect())
+    )
+    assert doubled == [(u, c * 2) for (u, c) in state]
+    audit = txn.txn_snapshot(spark, root, "audit").collect()
+    assert sorted({r.batch_id for r in audit}) == [0, 1]
+
+
+def test_stream_txn_registry_row_matches_batch(spark):
+    from conftest import SF0001
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming import txn_stream
+
+    out = {
+        r.tbl: (r.n_rows, r.total_cents)
+        for r in txn_stream.stream_txn_multi_table_true(
+            spark, SF0001
+        ).collect()
+    }
+    per_user = (
+        load_table(spark, SF0001, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    n = per_user.count()
+    total = per_user.agg(F.sum("c")).collect()[0][0]
+    assert out["balances"] == (n, total)
+    assert out["audit"] == (n, total)
