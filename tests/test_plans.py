@@ -342,3 +342,43 @@ def test_exact_vs_approx_distinct_no_expand(spark):
         if l.strip().startswith("(") and l.strip().endswith("Exchange")
     )
     assert n_exchanges <= 2  # dedup shuffle + final agg shuffle
+
+
+def test_round7_window_pipelines_single_exchange(spark):
+    """Interval merge and touch attribution each run BOTH window passes
+    and the final step on ONE user_id exchange — no re-shuffle between
+    window and aggregate."""
+    import re
+
+    for name in ("timeseries_merge_intervals", "events_attribution_touch"):
+        plan = _plan(spark, name)
+        # formatted mode: each physical node appears once as a
+        # "(N) Exchange" details header — exact node count
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges == 1, (name, n_exchanges)
+
+
+def test_bitmap_rollup_reaggregates_words_not_facts(spark):
+    """Bitmap words are built once per union leg and the monthly level
+    re-aggregates WORDS (bit_or merge), never the fact rows."""
+    plan = _plan(spark, "agg_bitmap_distinct_rollup")
+    # formatted mode lists each node twice (tree + details): 2 real
+    # scans, one per union leg
+    assert plan.count("Scan parquet") <= 4
+    assert "bit_or" in plan and "bit_count" in plan
+
+
+def test_corr_covar_is_one_partial_aggregate(spark):
+    plan = _plan(spark, "stat_corr_covar_exact")
+    # ONE partial+final aggregate pair on ONE exchange (formatted mode
+    # lists each node twice: tree + details)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_max_by_is_aggregate_not_window(spark):
+    plan = _plan(spark, "agg_max_by_min_by")
+    assert "max_by" in plan
+    assert "Window" not in plan  # the whole point vs rank-then-filter
