@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bitmap_distinct_rollup",
     "stream_txn_multi_table_true",
     "sql_session_variables",
+    "pandas_api_pipeline",
     # ... then the prior session's still-unsampled additions (runtime
     # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
     # median, OHLC, DQ suite, skew profile)
@@ -242,6 +243,7 @@ def _load_all() -> None:
     from .plans import advanced7  # noqa: F401  # round-7 additions
     from .plans import advanced8  # noqa: F401  # round-7 additions
     from .plans import advanced9  # noqa: F401  # round-7 additions
+    from .plans import pandas_api  # noqa: F401  # round-7 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 

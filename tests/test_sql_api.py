@@ -61,3 +61,40 @@ def test_sql_text_matches_dataframe_builder(views, name):
     via_sql = _canon(views.sql(spec.oracle))
     via_df = _canon(spec.builder(views, SF))
     assert via_sql == via_df, name
+
+
+def test_pandas_api_compiles_to_relational_plan(spark):
+    """The pandas-idiom pipeline must compile to the same plan class as
+    the DSL: broadcast dim join, partial aggregation, and — the scale
+    claim — NO positional-index machinery (no zipWithIndex scan, no
+    window over the whole table) anywhere in the plan."""
+    from gjenbruksstasjoner_kotid_estimering_spark.plans import pandas_api
+
+    from conftest import SF0001
+
+    df = pandas_api.pandas_api_pipeline(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "monotonically_increasing_id" not in plan
+    assert "row_number" not in plan
+    got = {r.priority: (r.n_items, r.qty_sum, r.price_cents) for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+    li = load_table(spark, SF0001, "lineitem").where("l_quantity >= 10")
+    o = load_table(spark, SF0001, "orders")
+    want = {
+        r.priority: (r.n_items, r.qty_sum, r.price_cents)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
