@@ -67,6 +67,14 @@ _PRIORITY: tuple[str, ...] = (
     # (a) the r4/r5 red row: oracle dtype fix landed last round but the
     # driver has not yet confirmed it — re-verify first
     "merge_tx_time_travel",
+    # (b0) this round's wave A — never driver-sampled
+    "sql_scripting_block",
+    "sql_execute_immediate",
+    "sql_lateral_column_alias",
+    "agg_listagg_ordered",
+    "agg_transpose_matrix",
+    "join_strategy_hints",
+    "agg_count_min_sketch",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -244,6 +252,7 @@ def _load_all() -> None:
     from .plans import advanced8  # noqa: F401  # round-7 additions
     from .plans import advanced9  # noqa: F401  # round-7 additions
     from .plans import pandas_api  # noqa: F401  # round-7 additions
+    from .plans import advanced10  # noqa: F401  # round-8 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
