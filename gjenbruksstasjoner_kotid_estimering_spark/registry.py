@@ -75,6 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_transpose_matrix",
     "join_strategy_hints",
     "agg_count_min_sketch",
+    "bpe_train_merges",
+    "text_pmi_positive_pairs",
+    "udf_map_in_arrow",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -253,6 +256,7 @@ def _load_all() -> None:
     from .plans import advanced9  # noqa: F401  # round-7 additions
     from .plans import pandas_api  # noqa: F401  # round-7 additions
     from .plans import advanced10  # noqa: F401  # round-8 additions
+    from .operators import traindata6  # noqa: F401  # round-8 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
