@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "stream_union_sources_true",
     "stream_statestore_reader",
+    "join_aqe_skew",
+    "scan_file_metadata",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -260,6 +262,7 @@ def _load_all() -> None:
     from .plans import advanced10  # noqa: F401  # round-8 additions
     from .operators import traindata6  # noqa: F401  # round-8 additions
     from .streaming import multisrc  # noqa: F401  # round-8 additions
+    from .plans import advanced11  # noqa: F401  # round-8 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
