@@ -82,6 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_statestore_reader",
     "join_aqe_skew",
     "scan_file_metadata",
+    "subquery_not_in_null_semantics",
+    "date_tz_convert",
+    "ml_als_recommend",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -263,6 +266,8 @@ def _load_all() -> None:
     from .operators import traindata6  # noqa: F401  # round-8 additions
     from .streaming import multisrc  # noqa: F401  # round-8 additions
     from .plans import advanced11  # noqa: F401  # round-8 additions
+    from .plans import advanced12  # noqa: F401  # round-8 additions
+    from .ml import recommend  # noqa: F401  # round-8 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
