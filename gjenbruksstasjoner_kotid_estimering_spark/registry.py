@@ -268,6 +268,9 @@ def _load_all() -> None:
     from .plans import advanced11  # noqa: F401  # round-8 additions
     from .plans import advanced12  # noqa: F401  # round-8 additions
     from .ml import recommend  # noqa: F401  # round-8 additions
+    from .operators import merge_ivm  # noqa: F401  # round-9 additions
+    from .plans import advanced13  # noqa: F401  # round-9 additions
+    from .operators import graph2  # noqa: F401  # round-9 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
