@@ -273,6 +273,8 @@ def _load_all() -> None:
     from .operators import graph2  # noqa: F401  # round-9 additions
     from .streaming import pystream  # noqa: F401  # round-9 additions
     from .plans import advanced14  # noqa: F401  # round-9 additions
+    from .plans import advanced15  # noqa: F401  # round-9 additions
+    from .streaming import latedrop  # noqa: F401  # round-9 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
