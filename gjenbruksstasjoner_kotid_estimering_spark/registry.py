@@ -85,6 +85,24 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_not_in_null_semantics",
     "date_tz_convert",
     "ml_als_recommend",
+    # (b0b) round-9 session waves F–K — never driver-sampled
+    "merge_tx_ivm_aggregate",
+    "merge_tx_cdf_to_scd2",
+    "stream_scd2_dimension_true",
+    "stream_late_data_drop_true",
+    "stream_python_datasource_true",
+    "events_feature_store_pit",
+    "graph_sssp_weighted",
+    "er_resolve_parts",
+    "agg_kmv_sketch_rollup",
+    "stat_chi_square_independence",
+    "timeseries_ewma_dyadic",
+    "window_running_median_exact",
+    "events_regex_sequence_match",
+    "sql_ddl_default_columns",
+    "sql_interval_arithmetic",
+    "string_url_parse",
+    "text_ttr_lexical_diversity",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -275,6 +293,7 @@ def _load_all() -> None:
     from .plans import advanced14  # noqa: F401  # round-9 additions
     from .plans import advanced15  # noqa: F401  # round-9 additions
     from .streaming import latedrop  # noqa: F401  # round-9 additions
+    from .streaming import scd2_stream  # noqa: F401  # round-9 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
