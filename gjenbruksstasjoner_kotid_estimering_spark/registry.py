@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "er_resolve_parts",
     "agg_kmv_sketch_rollup",
     "stat_chi_square_independence",
+    "stat_ks_two_sample_exact",
+    "stat_mann_whitney_u_exact",
     "timeseries_ewma_dyadic",
     "window_running_median_exact",
     "events_regex_sequence_match",
@@ -294,6 +296,7 @@ def _load_all() -> None:
     from .plans import advanced15  # noqa: F401  # round-9 additions
     from .streaming import latedrop  # noqa: F401  # round-9 additions
     from .streaming import scd2_stream  # noqa: F401  # round-9 additions
+    from .plans import advanced16  # noqa: F401  # round-9 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 

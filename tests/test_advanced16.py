@@ -1,0 +1,67 @@
+"""Round-9 wave L: KS and Mann-Whitney exact statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark.plans import advanced16 as a16
+
+from conftest import SF0001
+
+
+def _samples(spark, types):
+    ev = (
+        load_table(spark, SF0001, "events")
+        .where(F.col("event_type").isin(*types) & F.col("value").isNotNull())
+        .collect()
+    )
+    out: dict[str, list[int]] = {t: [] for t in types}
+    for r in ev:
+        out[r.event_type].append(round(r.value * 100))
+    return out
+
+
+def test_ks_matches_python_ecdf(spark):
+    row = a16.stat_ks_two_sample_exact(spark, SF0001).collect()[0]
+    s = _samples(spark, [a16.KS_A, a16.KS_B])
+    a = sorted(c // a16.KS_BIN for c in s[a16.KS_A])
+    b = sorted(c // a16.KS_BIN for c in s[a16.KS_B])
+    n, m = len(a), len(b)
+    assert (row.n, row.m) == (n, m)
+    support = sorted(set(a) | set(b))
+    best, best_bin = -1, None
+    for x in support:
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        d = abs(ca * m - cb * n)
+        if d > best:
+            best, best_bin = d, x
+    assert row.d_num == best
+    assert row.at_bin == best_bin
+
+
+def test_mann_whitney_matches_python_midranks(spark):
+    row = a16.stat_mann_whitney_u_exact(spark, SF0001).collect()[0]
+    s = _samples(spark, [a16.MW_A, a16.MW_B])
+    a, b = s[a16.MW_A], s[a16.MW_B]
+    pooled = sorted(
+        [(v, 0) for v in a] + [(v, 1) for v in b]
+    )
+    # doubled midranks: for a tie group spanning positions [i, j]
+    # (1-based), every member gets i + j
+    r2 = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j + 1 < len(pooled) and pooled[j + 1][0] == pooled[i][0]:
+            j += 1
+        for k in range(i, j + 1):
+            r2[k] = (i + 1) + (j + 1)
+        i = j + 1
+    r2sum = sum(r2[k] for k, (_, side) in enumerate(pooled) if side == 0)
+    n1, n2 = len(a), len(b)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1_x2 == r2sum - n1 * (n1 + 1)
+    # 2·U ranges over [0, 2·n1·n2]
+    assert 0 <= row.u1_x2 <= 2 * n1 * n2
