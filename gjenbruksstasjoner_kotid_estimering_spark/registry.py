@@ -105,6 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "sql_interval_arithmetic",
     "string_url_parse",
     "text_ttr_lexical_diversity",
+    "udf_pandas_grouped_agg",
+    "stat_spearman_rank_exact",
+    "stat_kendall_tau_exact",
+    "ml_kmeans_one_step_exact",
+    "text_url_canonical_dedup",
+    "text_heavy_hitter_tokens",
+    "scan_nested_schema_pruning",
     # (b) never-driver-sampled, newest wave first: this round's 8
     # (observe metrics, GROUP BY ALL, multiset set-ops, exact
     # covariance, cume_dist deciles, touch attribution, mergeSchema
@@ -297,6 +304,8 @@ def _load_all() -> None:
     from .streaming import latedrop  # noqa: F401  # round-9 additions
     from .streaming import scd2_stream  # noqa: F401  # round-9 additions
     from .plans import advanced16  # noqa: F401  # round-9 additions
+    from .operators import udaf2  # noqa: F401  # round-9 additions
+    from .plans import advanced17  # noqa: F401  # round-9 additions
     from .operators import txn  # noqa: F401  # round-7 additions
     from .operators import graph  # noqa: F401  # round-2 additions
 
