@@ -130,28 +130,46 @@ class PartitionTopK:
         )
         WHERE rank <= 3
     """,
-    doc="Spark 4 UDTF TABLE(...) argument with PARTITION BY / ORDER BY: "
-    "the engine groups the events table by event_type, sorts each "
-    "partition (value DESC, event_id for deterministic ties), and "
-    "streams it through the Python UDTF, which keeps only its top-3 "
-    "rows — O(k) state per group, never a per-group collect. The "
-    "calling convention that turns per-group imperative algorithms "
-    "(sessionizers, sequence miners, custom rankers) into one "
-    "declarative SQL call; the oracle is the equivalent row_number "
-    "window, so even the Python path is hash-checked. The declarative "
-    "twin for plain top-k remains topk_per_group — a UDTF is the "
-    "escape hatch, not the default.",
+    doc="Spark 4 UDTF TABLE(...) argument with PARTITION BY / ORDER BY, "
+    "fed by a map-side candidate pruner: a zero-shuffle mapInPandas "
+    "keeps each Arrow batch's top-3 per event_type (any global top-3 "
+    "row is in its batch's top-3 under the same total order), so only "
+    "O(types x batches x 3) candidate rows ever cross into the UDTF, "
+    "which the engine then groups by event_type, sorts (value DESC, "
+    "event_id), and streams through eval() — O(k) state per group, "
+    "never a per-group collect. At 100 TB the pruner bounds the Python "
+    "row-at-a-time surface to the candidate set; without it the UDTF "
+    "would pay per-row transport on the whole table (BENCH_r06's #5 "
+    "slowest query). The oracle is the equivalent row_number window, "
+    "so the Python path stays hash-checked. The declarative twin for "
+    "plain top-k remains topk_per_group — a UDTF is the escape hatch, "
+    "not the default.",
     tags=("udtf", "table-arg", "window", "python"),
 )
 def udtf_table_arg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_events_for_udtf")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["value", "event_id"], ascending=[False, True]
+                )
+                .groupby("event_type", sort=False)
+                .head(3)
+            )
+
+    candidates = ev.mapInPandas(_partial_topk, schema=ev.schema)
+    candidates.createOrReplaceTempView("_events_topk_candidates")
     spark.udtf.register("partition_topk", PartitionTopK)
     return spark.sql(
         """
         SELECT event_type, rank, value, event_id
         FROM partition_topk(
-          TABLE(SELECT event_type, value, event_id FROM _events_for_udtf)
+          TABLE(SELECT event_type, value, event_id
+                FROM _events_topk_candidates)
           PARTITION BY event_type
           ORDER BY (value DESC, event_id)
         )

@@ -55,129 +55,70 @@ def register(
 
 
 # The driver's correctness sweep walks ``queries()`` in dict-insertion
-# order under a ~50-query-per-round budget. Round-6-driver ordering:
-# (a) the r4/r5 red row first (its oracle dtype fix — CAST every UNION
-# branch to BIGINT — landed after the r5 snapshot, so the driver has not
-# yet recorded it green); (b) every never-driver-sampled key: the 12
-# post-r5-snapshot rows plus this round's 8; (c) rotation by OLDEST
+# order under a ~50-query-per-round budget. Round-7-driver ordering:
+# (a) every key with zero driver evidence — 52 names, the union of
+# CORRECTNESS_r01..r06 never reached them; (b) rotation by OLDEST
 # driver evidence — the nine r1-last-seen stragglers, then the
-# r2-last-seen block, of which the ~50 budget covers the head; the tail
-# rolls forward next round.
+# r2-last-seen block; the ~50 budget covers the head, the tail rolls
+# forward next round.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the r4/r5 red row: oracle dtype fix landed last round but the
-    # driver has not yet confirmed it — re-verify first
-    "merge_tx_time_travel",
-    # (b0) this round's wave A — never driver-sampled
-    "sql_scripting_block",
-    "sql_execute_immediate",
-    "sql_lateral_column_alias",
-    "agg_listagg_ordered",
-    "agg_transpose_matrix",
-    "join_strategy_hints",
-    "agg_count_min_sketch",
-    "bpe_train_merges",
-    "text_pmi_positive_pairs",
-    "udf_map_in_arrow",
-    "stream_union_sources_true",
-    "stream_statestore_reader",
-    "join_aqe_skew",
-    "scan_file_metadata",
-    "subquery_not_in_null_semantics",
-    "date_tz_convert",
-    "ml_als_recommend",
-    # (b0b) round-9 session waves F–K — never driver-sampled
-    "merge_tx_ivm_aggregate",
-    "merge_tx_cdf_to_scd2",
-    "stream_scd2_dimension_true",
-    "stream_late_data_drop_true",
-    "stream_python_datasource_true",
-    "events_feature_store_pit",
-    "graph_sssp_weighted",
-    "er_resolve_parts",
-    "agg_kmv_sketch_rollup",
-    "stat_chi_square_independence",
-    "stat_ks_two_sample_exact",
-    "stat_mann_whitney_u_exact",
-    "timeseries_ewma_dyadic",
-    "window_running_median_exact",
-    "events_regex_sequence_match",
-    "sql_ddl_default_columns",
-    "sql_interval_arithmetic",
-    "string_url_parse",
-    "text_ttr_lexical_diversity",
-    "udf_pandas_grouped_agg",
-    "stat_spearman_rank_exact",
-    "stat_kendall_tau_exact",
-    "ml_kmeans_one_step_exact",
-    "text_url_canonical_dedup",
-    "text_heavy_hitter_tokens",
-    "scan_nested_schema_pruning",
-    # (b) never-driver-sampled, newest wave first: this round's 8
-    # (observe metrics, GROUP BY ALL, multiset set-ops, exact
-    # covariance, cume_dist deciles, touch attribution, mergeSchema
-    # read, vacuum retention) ...
-    "scan_observe_metrics",
-    "sql_group_by_all",
-    "set_intersect_except_all",
-    "stat_corr_covar_exact",
-    "window_cume_dist_deciles",
-    "events_attribution_touch",
-    "scan_parquet_merge_schema",
-    "merge_tx_vacuum_retention",
-    "scan_jsonl_roundtrip",
-    "dedup_text_normalized",
-    "window_time_range_rolling",
-    "sample_repeat_epochs",
-    "merge_tx_restore_version",
-    "join_dynamic_partition_pruning",
-    "text_feature_hashing",
-    "scan_csv_permissive_corrupt",
-    "text_vocab_zipf_stats",
-    "graph_bfs_distance",
-    "multimodal_image_tiles",
-    "stream_jsonl_ingest_true",
-    "sink_dynamic_partition_overwrite",
-    "timeseries_merge_intervals",
-    "udf_arrow_scalar",
-    "stream_static_enrich_true",
-    "agg_max_by_min_by",
-    "txn_multi_table_atomic",
-    "agg_bitmap_distinct_rollup",
-    "stream_txn_multi_table_true",
-    "sql_session_variables",
-    "pandas_api_pipeline",
-    # ... then the prior session's still-unsampled additions (runtime
-    # bloom, z-order skipping, fuzzy/geo blocked joins, weighted
-    # median, OHLC, DQ suite, skew profile)
-    "merge_tx_evolve_conditional",
-    "merge_tx_when_matched_delete",
-    "merge_tx_sync_delete_scope",
+    # (a) the 52 keys with ZERO driver evidence (r06 verdict: the
+    # registry grew faster than the 50-key sample). Lakehouse clause
+    # matrix and the at-scale join block first, then streaming, scans,
+    # SQL surface, aggregates, and the rest alphabetically.
     "merge_tx_full_clause_matrix",
+    "merge_tx_when_matched_delete",
     "merge_tx_delete_cdf",
-    "agg_distinct_exact_vs_approx",
+    "merge_tx_evolve_conditional",
+    "merge_tx_sync_delete_scope",
+    "merge_tx_vacuum_retention",
+    "merge_tx_restore_version",
+    "join_runtime_bloom",
+    "join_dynamic_partition_pruning",
+    "scan_zorder_skipping",
+    "join_fuzzy_levenshtein",
+    "join_geo_gridblock",
+    "txn_multi_table_atomic",
+    "stream_ohlc_true",
     "stream_sliding_window_true",
+    "stream_static_enrich_true",
+    "stream_txn_multi_table_true",
+    "stream_jsonl_ingest_true",
+    "stream_file_sink_exactly_once",
     "scan_csv_roundtrip",
+    "scan_csv_permissive_corrupt",
+    "scan_jsonl_roundtrip",
+    "scan_hive_partitioned",
+    "scan_parquet_merge_schema",
     "sql_pipe_syntax",
     "sql_udf_functions",
     "sql_parameterized",
-    "text_bigram_coverage",
-    "join_runtime_bloom",
-    "join_fuzzy_levenshtein",
-    "join_geo_gridblock",
-    "scan_zorder_skipping",
+    "sql_session_variables",
+    "pandas_api_pipeline",
+    "agg_bitmap_distinct_rollup",
+    "agg_max_by_min_by",
     "agg_weighted_median",
-    "timeseries_resample_ohlc",
-    "dq_constraint_checks",
-    "profile_skew_keys",
-    "embedding_dim_stats",
-    "sample_importance_weighted",
-    "stream_ohlc_true",
-    "scan_hive_partitioned",
-    "udtf_table_arg_topk",
+    "agg_distinct_exact_vs_approx",
     "agg_approx_top_k",
+    "udtf_table_arg_topk",
+    "udf_arrow_scalar",
+    "dedup_text_normalized",
+    "dq_constraint_checks",
+    "embedding_dim_stats",
+    "graph_bfs_distance",
     "multimodal_image_phash_dedup",
-    "stream_file_sink_exactly_once",
-    # (c) rotation: newest driver evidence r1 (9 names)
+    "multimodal_image_tiles",
+    "profile_skew_keys",
+    "sample_importance_weighted",
+    "sample_repeat_epochs",
+    "sink_dynamic_partition_overwrite",
+    "text_bigram_coverage",
+    "text_feature_hashing",
+    "text_vocab_zipf_stats",
+    "timeseries_merge_intervals",
+    "timeseries_resample_ohlc",
+    "window_time_range_rolling",
+    # (b) rotation: newest driver evidence r1 (9 names)
     "date_arith",
     "decimal_cast",
     "json_extract",
@@ -187,8 +128,8 @@ _PRIORITY: tuple[str, ...] = (
     "sort_multi",
     "string_funcs2",
     "try_funcs",
-    # (d) then the r2-last-seen block (48 names) — the driver budget
-    # (~50/round) reaches partway in; the rest roll to next round
+    # (c) the r2-last-seen block — the ~50/round budget reaches the
+    # head only after (a)+(b); the tail rolls to r08
     "agg_approx_quantile",
     "agg_histogram",
     "agg_hll_sketch",

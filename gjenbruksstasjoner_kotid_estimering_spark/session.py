@@ -27,6 +27,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs default to pickled row-at-a-time transport; Arrow
+    # batches the exchange the same way pandas UDFs do (BENCH_r06: the
+    # two UDTF rows were the #1/#5 slowest queries purely on transport).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Dimension/calibration tables are tiny; make sure Catalyst broadcasts.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # Testdata timestamp drift guard: round-1 testdata wrote events.ts as
