@@ -152,14 +152,17 @@ MW_A, MW_B = "purchase", "view"
     """,
     doc=f"Mann–Whitney U ({MW_A} vs {MW_B} event values), exact with "
     "ties: 2·U₁ = 2·R₁ − n₁(n₁+1), where the tie-averaged rank is "
-    "kept doubled (2·avg-rank = rank() + rank-of-last-tie-member = "
-    "2·rank + ties − 1, an integer identity) — the midrank convention "
-    "every stats package uses, with no half-integer ever stored. "
-    "The rank window orders the combined sample globally; at 100 TB "
-    "this becomes the binned form (rank from a value-histogram prefix "
-    "sum, exactly the KS row's shape) — kept unbinned here because "
-    "U is rank-sum-sensitive and the fixture support is small. One "
-    "shuffle to rank, one to aggregate.",
+    "kept doubled (2·avg-rank = 2·rank + ties − 1, an integer "
+    "identity) — the midrank convention every stats package uses, "
+    "with no half-integer ever stored. Computed from BIN-LEVEL "
+    "cumulative counts, never a row-level rank: group to (cents → "
+    "total count c, group-A count c1), prefix-sum c over the bounded "
+    "distinct-cents support, and every row in a bin contributes "
+    "r2 = 2·cum_before + c + 1, so R₂sum = Σ c1·(2·cum_before + c + "
+    "1). The one ordered window runs over the constant-cardinality "
+    "bin relation (the KS row's shape), not the event rows — at "
+    "100 TB the sort input stays bin-sized. One groupBy shuffle; "
+    "everything after is bin-sized.",
     tags=("stats", "nonparametric", "exact", "window"),
 )
 def stat_mann_whitney_u_exact(
@@ -176,20 +179,25 @@ def stat_mann_whitney_u_exact(
             "event_type",
         )
     )
-    ranked = pts.select(
-        "event_type",
-        (
-            2 * F.rank().over(Window.orderBy("cents"))
-            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
-            - 1
-        ).alias("r2"),
+    bins = pts.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count(F.when(F.col("event_type") == MW_A, 1)).alias("c1"),
     )
-    agg = ranked.agg(
-        F.count(F.when(F.col("event_type") == MW_A, 1)).alias("n1"),
-        F.count(F.when(F.col("event_type") == MW_B, 1)).alias("n2"),
-        F.sum(F.when(F.col("event_type") == MW_A, F.col("r2"))).alias(
-            "r2sum"
-        ),
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scored = bins.select(
+        "c",
+        "c1",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = scored.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("c") - F.sum("c1")).alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("r2sum"),
     )
     return agg.select(
         "n1",

@@ -157,15 +157,30 @@ def stream_scd2_dimension_true(
     os.makedirs(feed_dir)
     os.makedirs(store_dir)
     ev = load_table(spark, sf_dir, "events")
-    # four disjoint, chronologically ordered slices — cross-batch event
-    # order equals event-time order, the in-order CDC delivery contract
-    sliced = ev.withColumn(
-        "slice",
-        F.ntile(N_FEED_FILES).over(Window.orderBy("ts", "event_id")),
-    )
+    # Disjoint, chronologically ordered slices from approxQuantile ts
+    # boundaries — cross-batch event order equals event-time order (the
+    # in-order CDC delivery contract) because equal-ts rows never split
+    # across a boundary (slice_i = lo < ts_epoch <= hi). No global sort:
+    # the fold is history-slicing-invariant, so approximate (even
+    # skewed) boundaries cannot change the result, and the slicer stays
+    # scan-parallel at any scale.
+    tsl = ev.select(F.col("ts").cast("long").alias("tsl"))
+    probs = [i / N_FEED_FILES for i in range(1, N_FEED_FILES)]
+    bounds = sorted(set(tsl.stat.approxQuantile("tsl", probs, 0.001)))
+    edges: list[tuple[float | None, float | None]] = []
+    lo: float | None = None
+    for b in bounds:
+        edges.append((lo, b))
+        lo = b
+    edges.append((lo, None))
     try:
-        for i in range(1, N_FEED_FILES + 1):
-            part = sliced.where(F.col("slice") == i).drop("slice")
+        for i, (lo, hi) in enumerate(edges, start=1):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("ts").cast("long") > F.lit(int(lo)))
+            if hi is not None:
+                cond = cond & (F.col("ts").cast("long") <= F.lit(int(hi)))
+            part = ev.where(cond)
             tmp = os.path.join(scratch, f"_tmp_{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             src = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
