@@ -167,27 +167,34 @@ def stream_scd2_dimension_true(
     tsl = ev.select(F.col("ts").cast("long").alias("tsl"))
     probs = [i / N_FEED_FILES for i in range(1, N_FEED_FILES)]
     bounds = sorted(set(tsl.stat.approxQuantile("tsl", probs, 0.001)))
-    edges: list[tuple[float | None, float | None]] = []
-    lo: float | None = None
+    # one slice id per row: count of boundaries strictly below ts_epoch
+    slice_col = F.lit(1)
     for b in bounds:
-        edges.append((lo, b))
-        lo = b
-    edges.append((lo, None))
+        slice_col = slice_col + F.when(
+            F.col("ts").cast("long") > F.lit(int(b)), 1
+        ).otherwise(0)
     try:
-        for i, (lo, hi) in enumerate(edges, start=1):
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("ts").cast("long") > F.lit(int(lo)))
-            if hi is not None:
-                cond = cond & (F.col("ts").cast("long") <= F.lit(int(hi)))
-            part = ev.where(cond)
-            tmp = os.path.join(scratch, f"_tmp_{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        # ONE scan writes every slice: repartition("slice") puts all rows
+        # of a slice in one task (single value → single hash partition),
+        # so partitionBy emits exactly one file per slice directory.
+        tmp = os.path.join(scratch, "_slices")
+        (
+            ev.withColumn("slice", slice_col)
+            .repartition("slice")
+            .write.partitionBy("slice")
+            .parquet(tmp)
+        )
+        for i in range(1, len(bounds) + 2):
+            parts = globmod.glob(
+                os.path.join(tmp, f"slice={i}", "part-*.parquet")
+            )
+            if not parts:  # colliding quantile boundaries → empty slice
+                continue
+            assert len(parts) == 1, parts
             dst = os.path.join(feed_dir, f"{i:02d}_slice.parquet")
-            shutil.move(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.move(parts[0], dst)
             os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
         feed = read_events_stream(
             spark, feed_dir, glob="*.parquet", max_files_per_trigger=1
         )
