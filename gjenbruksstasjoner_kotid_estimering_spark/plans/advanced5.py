@@ -152,12 +152,17 @@ def udtf_table_arg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _partial_topk(batches):
+        # Null alignment with the UDTF/oracle total order (value DESC,
+        # event_id): pandas sort_values puts NaN last (na_position default)
+        # exactly like Spark/DuckDB's DESC NULLS LAST, and dropna=False
+        # keeps a NULL event_type as its own group instead of silently
+        # dropping its rows (pandas groupby drops NaN keys by default).
         for pdf in batches:
             yield (
                 pdf.sort_values(
                     ["value", "event_id"], ascending=[False, True]
                 )
-                .groupby("event_type", sort=False)
+                .groupby("event_type", sort=False, dropna=False)
                 .head(3)
             )
 

@@ -278,9 +278,20 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Zipf vocabulary statistics -------------------------------------------
 
 
+# Zipf coverage is only ever read for a top-K vocabulary prefix, so the
+# stats table is bounded to the top ZIPF_VOCAB_K tokens BEFORE any global
+# window runs. A 100 TB web corpus has hundreds of millions of distinct
+# whitespace tokens (typos, URLs, numerals) — a row_number/cumsum window
+# over that unbounded relation would funnel the whole vocabulary through
+# one task, the exact shape operators/traindata.py's text_vocab_encode
+# refuses. Truncation is exact: the running cumulative count over the
+# (cnt DESC, tok) prefix is unchanged by dropping the tail.
+ZIPF_VOCAB_K = 65536
+
+
 @register(
     "text_vocab_zipf_stats",
-    oracle="""
+    oracle=f"""
         WITH counts AS (
           SELECT tok, CAST(count(*) AS BIGINT) AS cnt
           FROM (
@@ -289,24 +300,29 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
           )
           GROUP BY tok
+        ),
+        ranked AS (
+          SELECT tok, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+                     AS rank,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_cnt
+          FROM counts
         )
-        SELECT tok, cnt,
-               CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
-                   AS rank,
-               CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_cnt
-        FROM counts
+        SELECT tok, cnt, rank, cum_cnt FROM ranked
+        WHERE rank <= {ZIPF_VOCAB_K}
     """,
-    doc="Zipf rank/coverage table: global token counts ranked by "
-    "frequency with a running cumulative count — divide cum_cnt by "
-    "the total and you read off exactly how much of the corpus a "
-    "top-K vocabulary covers, which is how tokenizer vocab sizes are "
-    "actually chosen. The global window runs over the VOCABULARY "
-    "(thousands of rows after the groupBy), not the corpus, so the "
-    "single-partition sort it implies is bounded and cheap even when "
-    "the corpus is 100 TB; ties break lexicographically so the rank "
-    "is deterministic.",
+    doc="Zipf rank/coverage table over the top-ZIPF_VOCAB_K tokens: global "
+    "token counts ranked by frequency with a running cumulative count — "
+    "divide cum_cnt by the corpus total and you read off exactly how much "
+    "of the corpus a top-K vocabulary covers, which is how tokenizer vocab "
+    "sizes are actually chosen. The distinct-token relation is UNBOUNDED "
+    "at corpus scale, so the plan takes the top-K by (cnt DESC, tok) first "
+    "(Spark compiles orderBy+limit to TakeOrderedAndProject — per-partition "
+    "heaps, no global sort) and only then runs the rank/cumsum window over "
+    "the ≤K surviving rows; truncation does not change any retained "
+    "cum_cnt. Ties break lexicographically so the rank is deterministic.",
     tags=("text", "traindata", "vocab"),
 )
 def text_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,8 +332,9 @@ def text_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), "tok").limit(ZIPF_VOCAB_K)
     w = Window.orderBy(F.col("cnt").desc(), "tok")
-    return counts.select(
+    return top.select(
         "tok",
         "cnt",
         F.row_number().over(w).cast("long").alias("rank"),

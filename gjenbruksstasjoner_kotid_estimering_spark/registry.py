@@ -55,70 +55,17 @@ def register(
 
 
 # The driver's correctness sweep walks ``queries()`` in dict-insertion
-# order under a ~50-query-per-round budget. Round-7-driver ordering:
-# (a) every key with zero driver evidence — 52 names, the union of
-# CORRECTNESS_r01..r06 never reached them; (b) rotation by OLDEST
-# driver evidence — the nine r1-last-seen stragglers, then the
-# r2-last-seen block; the ~50 budget covers the head, the tail rolls
-# forward next round.
+# order under a ~50-query-per-round budget. Rotation contract (encoded
+# in tests/test_registry.py::test_priority_head_is_rotated): after each
+# driver round the head is rebuilt STALEST-FIRST from the union of
+# CORRECTNESS_r01..rNN — keys with zero driver evidence first, then by
+# oldest newest-evidence round (alphabetical within a round). Round-8
+# ordering below was generated from CORRECTNESS_r01..r07.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the 52 keys with ZERO driver evidence (r06 verdict: the
-    # registry grew faster than the 50-key sample). Lakehouse clause
-    # matrix and the at-scale join block first, then streaming, scans,
-    # SQL surface, aggregates, and the rest alphabetically.
-    "merge_tx_full_clause_matrix",
-    "merge_tx_when_matched_delete",
-    "merge_tx_delete_cdf",
-    "merge_tx_evolve_conditional",
-    "merge_tx_sync_delete_scope",
-    "merge_tx_vacuum_retention",
-    "merge_tx_restore_version",
-    "join_runtime_bloom",
-    "join_dynamic_partition_pruning",
-    "scan_zorder_skipping",
-    "join_fuzzy_levenshtein",
-    "join_geo_gridblock",
-    "txn_multi_table_atomic",
-    "stream_ohlc_true",
-    "stream_sliding_window_true",
-    "stream_static_enrich_true",
-    "stream_txn_multi_table_true",
-    "stream_jsonl_ingest_true",
-    "stream_file_sink_exactly_once",
-    "scan_csv_roundtrip",
-    "scan_csv_permissive_corrupt",
-    "scan_jsonl_roundtrip",
-    "scan_hive_partitioned",
-    "scan_parquet_merge_schema",
-    "sql_pipe_syntax",
-    "sql_udf_functions",
-    "sql_parameterized",
-    "sql_session_variables",
-    "pandas_api_pipeline",
-    "agg_bitmap_distinct_rollup",
-    "agg_max_by_min_by",
-    "agg_weighted_median",
-    "agg_distinct_exact_vs_approx",
-    "agg_approx_top_k",
-    "udtf_table_arg_topk",
-    "udf_arrow_scalar",
-    "dedup_text_normalized",
-    "dq_constraint_checks",
-    "embedding_dim_stats",
-    "graph_bfs_distance",
-    "multimodal_image_phash_dedup",
-    "multimodal_image_tiles",
-    "profile_skew_keys",
-    "sample_importance_weighted",
-    "sample_repeat_epochs",
-    "sink_dynamic_partition_overwrite",
-    "text_bigram_coverage",
-    "text_feature_hashing",
-    "text_vocab_zipf_stats",
-    "timeseries_merge_intervals",
+    # --- zero driver evidence (2 keys) ---
     "timeseries_resample_ohlc",
     "window_time_range_rolling",
-    # (b) rotation: newest driver evidence r1 (9 names)
+    # --- newest driver evidence r1 (9 keys) ---
     "date_arith",
     "decimal_cast",
     "json_extract",
@@ -128,8 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "sort_multi",
     "string_funcs2",
     "try_funcs",
-    # (c) the r2-last-seen block — the ~50/round budget reaches the
-    # head only after (a)+(b); the tail rolls to r08
+    # --- newest driver evidence r2 (48 keys) ---
     "agg_approx_quantile",
     "agg_histogram",
     "agg_hll_sketch",
@@ -178,6 +124,253 @@ _PRIORITY: tuple[str, ...] = (
     "window_percent_rank",
     "window_range_frame",
     "window_rank",
+    # --- newest driver evidence r3 (50 keys) ---
+    "agg_bitwise",
+    "array_funcs2",
+    "corpus_mixture_weights",
+    "corpus_to_shards_pipeline",
+    "dedup_incremental",
+    "dedup_semantic_kmeans",
+    "dedup_time_bounded",
+    "doc_pack_sequences",
+    "embedding_centroids",
+    "explode_outer_slices",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_interval_events",
+    "join_null_safe",
+    "json_variant_get",
+    "map_hof_funcs",
+    "ml_classifier_eval",
+    "queue_estimate_ml",
+    "sample_stratified_exact",
+    "scd2_intervals",
+    "session_window_agg",
+    "sessionize_gaps",
+    "similarity_knn_join",
+    "similarity_topk_ivf",
+    "stream_sliding_window",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_tfidf_exact",
+    "text_vocab_encode",
+    "timeseries_gapfill",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "window_ignore_nulls",
+    # --- newest driver evidence r4 (43 keys) ---
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_cube",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "basket_part_pairs",
+    "bpe_pair_stats",
+    "corpus_split_assign",
+    "date_trunc_agg",
+    "dedup_containment_rare_shingle",
+    "dedup_winnow_pairs",
+    "doc_chunk_overlap",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "events_funnel",
+    "events_pattern_peaks",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "graph_triangle_count",
+    "join_asof_abs_nearest",
+    "join_asof_forward",
+    "merge_tx_compact_read",
+    "merge_tx_delete_update",
+    "merge_tx_pruned_read",
+    "multimodal_audio_stats",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "profile_columns",
+    "recursive_cte_hierarchy",
+    "scan_python_datasource",
+    "similarity_topk_pq",
+    "stat_regression_exact",
+    "text_bm25_rank",
+    "text_gopher_quality_flags",
+    "text_segment_dedup",
+    "text_winnow_fingerprints",
+    "timeseries_rollup_cascade",
+    "udtf_polymorphic_split",
+    "upsert_merge_tx",
+    "window_islands_runs",
+    # --- newest driver evidence r5 (49 keys) ---
+    "agg_collect",
+    "agg_stats_exact",
+    "case_when_threshold",
+    "conditional_projection",
+    "corpus_prep_pipeline",
+    "derived_arithmetic",
+    "embedding_pq_codes",
+    "events_top_paths",
+    "filter_predicates",
+    "image_pipeline_stats",
+    "join_anti",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "merge_tx_changes",
+    "merge_tx_schema_evolution",
+    "posexplode_tokens",
+    "range_filter",
+    "regex_extract_all_tokens",
+    "sample_stratified",
+    "scalar_math_projection",
+    "scan_limit1",
+    "scan_orc_roundtrip",
+    "scan_project",
+    "scan_xml_roundtrip",
+    "sink_python_datasource",
+    "sql_ddl_roundtrip",
+    "stream_dedup_true",
+    "stream_error_followup_join",
+    "stream_merge_sink_true",
+    "stream_session_window_true",
+    "stream_stateful_tracker",
+    "stream_tumbling_window_true",
+    "string_collation_ci",
+    "string_funcs",
+    "string_regexp_replace",
+    "subquery_scalar",
+    "text_bpe_tokens",
+    "text_lang_agg",
+    "text_langid",
+    "text_quality",
+    "text_token_counts",
+    "unpivot_melt",
+    "window_running_distinct",
+    # --- newest driver evidence r6 (50 keys) ---
+    "agg_count_min_sketch",
+    "agg_kmv_sketch_rollup",
+    "agg_listagg_ordered",
+    "agg_transpose_matrix",
+    "bpe_train_merges",
+    "date_tz_convert",
+    "er_resolve_parts",
+    "events_attribution_touch",
+    "events_feature_store_pit",
+    "events_regex_sequence_match",
+    "graph_sssp_weighted",
+    "join_aqe_skew",
+    "join_strategy_hints",
+    "merge_tx_cdf_to_scd2",
+    "merge_tx_ivm_aggregate",
+    "merge_tx_time_travel",
+    "ml_als_recommend",
+    "ml_kmeans_one_step_exact",
+    "scan_file_metadata",
+    "scan_nested_schema_pruning",
+    "scan_observe_metrics",
+    "set_intersect_except_all",
+    "sql_ddl_default_columns",
+    "sql_execute_immediate",
+    "sql_group_by_all",
+    "sql_interval_arithmetic",
+    "sql_lateral_column_alias",
+    "sql_scripting_block",
+    "stat_chi_square_independence",
+    "stat_corr_covar_exact",
+    "stat_kendall_tau_exact",
+    "stat_ks_two_sample_exact",
+    "stat_mann_whitney_u_exact",
+    "stat_spearman_rank_exact",
+    "stream_late_data_drop_true",
+    "stream_python_datasource_true",
+    "stream_scd2_dimension_true",
+    "stream_statestore_reader",
+    "stream_union_sources_true",
+    "string_url_parse",
+    "subquery_not_in_null_semantics",
+    "text_heavy_hitter_tokens",
+    "text_pmi_positive_pairs",
+    "text_ttr_lexical_diversity",
+    "text_url_canonical_dedup",
+    "timeseries_ewma_dyadic",
+    "udf_map_in_arrow",
+    "udf_pandas_grouped_agg",
+    "window_cume_dist_deciles",
+    "window_running_median_exact",
+    # --- newest driver evidence r7 (50 keys) ---
+    "agg_approx_top_k",
+    "agg_bitmap_distinct_rollup",
+    "agg_distinct_exact_vs_approx",
+    "agg_max_by_min_by",
+    "agg_weighted_median",
+    "dedup_text_normalized",
+    "dq_constraint_checks",
+    "embedding_dim_stats",
+    "graph_bfs_distance",
+    "join_dynamic_partition_pruning",
+    "join_fuzzy_levenshtein",
+    "join_geo_gridblock",
+    "join_runtime_bloom",
+    "merge_tx_delete_cdf",
+    "merge_tx_evolve_conditional",
+    "merge_tx_full_clause_matrix",
+    "merge_tx_restore_version",
+    "merge_tx_sync_delete_scope",
+    "merge_tx_vacuum_retention",
+    "merge_tx_when_matched_delete",
+    "multimodal_image_phash_dedup",
+    "multimodal_image_tiles",
+    "pandas_api_pipeline",
+    "profile_skew_keys",
+    "sample_importance_weighted",
+    "sample_repeat_epochs",
+    "scan_csv_permissive_corrupt",
+    "scan_csv_roundtrip",
+    "scan_hive_partitioned",
+    "scan_jsonl_roundtrip",
+    "scan_parquet_merge_schema",
+    "scan_zorder_skipping",
+    "sink_dynamic_partition_overwrite",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "sql_udf_functions",
+    "stream_file_sink_exactly_once",
+    "stream_jsonl_ingest_true",
+    "stream_ohlc_true",
+    "stream_sliding_window_true",
+    "stream_static_enrich_true",
+    "stream_txn_multi_table_true",
+    "text_bigram_coverage",
+    "text_feature_hashing",
+    "text_vocab_zipf_stats",
+    "timeseries_merge_intervals",
+    "txn_multi_table_atomic",
+    "udf_arrow_scalar",
+    "udtf_table_arg_topk",
 )
 
 

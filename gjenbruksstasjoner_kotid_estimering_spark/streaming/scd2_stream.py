@@ -5,8 +5,10 @@ reconstruction from full history) and merge_tx_cdf_to_scd2 (folding a
 version-level CDF) — but a production dimension is maintained from a
 LIVE change stream: each micro-batch of events closes and opens validity
 intervals against the accumulated store. This row runs exactly that:
-the events table arrives as four time-ordered micro-batches
-(mtime-sequenced single-file feeds), a ``foreachBatch`` fold applies
+the events table arrives as up to ``N_FEED_FILES`` time-ordered
+micro-batches (mtime-sequenced single-file feeds; colliding
+approxQuantile boundaries can merge adjacent slices, so fewer is
+legitimate), a ``foreachBatch`` fold applies
 SCD2 transition logic per batch (close the open interval at the first
 in-batch status change, open one interval per change point), and the
 final store must hash-match the from-scratch lag/lead reconstruction
@@ -131,9 +133,11 @@ def _scd2_fold(store_dir: str):
                    AS is_current
         FROM ch
     """,
-    doc="TRUE streaming CDC→SCD2, oracle-checked: events arrive as FOUR "
-    "chronologically-sliced micro-batches (mtime-ordered files, "
-    "maxFilesPerTrigger=1) and a foreachBatch fold maintains the "
+    doc="TRUE streaming CDC→SCD2, oracle-checked: events arrive as up to "
+    "N_FEED_FILES chronologically-sliced micro-batches (mtime-ordered "
+    "files, maxFilesPerTrigger=1; colliding approxQuantile boundaries "
+    "can produce fewer slices — empty slices are skipped) and a "
+    "foreachBatch fold maintains the "
     "type-2 dimension — each batch closes the store's open interval "
     "at the first in-batch status change (seeded from the OPEN row's "
     "status, so a batch starting with an unchanged status opens "
@@ -190,7 +194,14 @@ def stream_scd2_dimension_true(
             )
             if not parts:  # colliding quantile boundaries → empty slice
                 continue
-            assert len(parts) == 1, parts
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"slice={i} wrote {len(parts)} files {parts}: the "
+                    "one-file-per-slice feed relies on repartition('slice') "
+                    "producing one task per slice value with no file "
+                    "splitting — check spark.sql.files.maxRecordsPerFile "
+                    "(must be unset/0 in this session)"
+                )
             dst = os.path.join(feed_dir, f"{i:02d}_slice.parquet")
             shutil.move(parts[0], dst)
             os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))

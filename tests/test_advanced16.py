@@ -124,7 +124,13 @@ def test_mann_whitney_window_is_bin_sized(spark):
         spark, SF0001
     )._jdf.queryExecution().optimizedPlan().toString()
     lines = plan.splitlines()
-    win = min(i for i, l in enumerate(lines) if "windowspecdefinition" in l.lower() or "Window" in l.split("+-")[-1])
+    win_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "windowspecdefinition" in l.lower() or "Window" in l.split("+-")[-1]
+    ]
+    assert win_idx, plan
+    win = min(win_idx)
     agg = [i for i, l in enumerate(lines) if "Aggregate" in l]
     assert agg, plan
     # at least one Aggregate (the groupBy cents) below the Window

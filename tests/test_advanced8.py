@@ -109,7 +109,31 @@ def test_zipf_ranks_partition_and_cover_the_corpus(spark):
         .collect()[0]
         .n
     )
+    # full corpus coverage only holds while the vocabulary fits inside the
+    # top-K bound; the fixture vocab (~31 tokens) is far below ZIPF_VOCAB_K
+    assert len(out) < a8.ZIPF_VOCAB_K
     assert out[-1].cum_cnt == total_tokens
+
+
+def test_zipf_window_input_is_topk_bounded(spark):
+    """The rank/cumsum window must consume the TakeOrdered top-K prefix,
+    never the unbounded distinct-token relation (r7 verdict: the global
+    single-partition sort over a 100 TB corpus vocabulary is the shape
+    text_vocab_encode explicitly refuses). Executed-plan lines print
+    children BELOW parents, so the bounding TakeOrderedAndProject must
+    appear at a larger line index than the Window that reads it."""
+    plan = (
+        a8.text_vocab_zipf_stats(spark, SF0001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    take_idx = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert take_idx, plan
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, plan
+    assert min(win_idx) < min(take_idx), plan
 
 
 def test_bfs_distances_match_brute_force(spark):
