@@ -488,3 +488,141 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_sym.alias("flag_symbols"),
         (~(flag_length | flag_mean | flag_stop | flag_sym)).alias("keep"),
     )
+
+
+# --- exact-substring span dedup (Lee et al. ExactSubstr form) -----------
+
+# Duplicate-window width in tokens. The published ExactSubstr threshold is
+# 50 BPE tokens over suffix arrays; the synthetic docs are 10-99 whitespace
+# tokens, so a narrower window plays that role (wide enough that matches
+# mean real shared phrasing, narrow enough that the fixture corpus actually
+# contains cross-doc duplicates).
+EXSUB_K = 8
+# Occurrence total order = doc_id * EXSUB_POS_CAP + pos. Documented bound:
+# per-document token count < EXSUB_POS_CAP (1e6 tokens ~ 4 MB of text — a
+# web-corpus document above that is pathological and belongs to the length
+# filter, not this operator) and doc_id < ~9.2e12 so the product stays
+# inside BIGINT.
+EXSUB_POS_CAP = 1_000_000
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text = '' THEN []
+                      ELSE string_split_regex(text, '\\s+') END AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                 md5(array_to_string(t[s:s + {EXSUB_K} - 1], ' ')) AS gh
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, len(t) - {EXSUB_K} + 2)) AS s
+                FROM toks WHERE len(t) >= {EXSUB_K})
+        ),
+        occ AS (
+          SELECT doc_id, pos,
+                 doc_id * {EXSUB_POS_CAP} + pos AS o,
+                 min(doc_id * {EXSUB_POS_CAP} + pos)
+                     OVER (PARTITION BY gh) AS first_o
+          FROM grams
+        ),
+        dups AS (SELECT doc_id, pos FROM occ WHERE o > first_o),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + {EXSUB_K}
+                      THEN 1 ELSE 0 END AS nf
+          FROM dups
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+          FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {EXSUB_K} - 1 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_dup_windows
+        FROM isl GROUP BY doc_id, island
+    """,
+    doc="Exact-substring duplicate-SPAN detection, the token-window form "
+    "of 'Deduplicating Training Data Makes Language Models Better' "
+    "(Lee et al. 2022): every EXSUB_K-token window that occurs anywhere "
+    "earlier in the corpus (total order = first (doc_id, pos) occurrence; "
+    "the first occurrence always survives) marks its tokens as duplicated, "
+    "and overlapping/contiguous duplicate windows per document merge into "
+    "maximal spans [span_start, span_end] (1-based token indices, "
+    "inclusive). Differs from text_segment_dedup (fixed aligned segments "
+    "— misses duplicates that straddle a segment boundary) by sliding the "
+    "window over EVERY position, which is what makes the guarantee 'no "
+    "shared substring of >= 2K-1 tokens survives twice'. Scale shape: "
+    "O(total tokens) gram rows keyed by a 32-hex md5 of the window (never "
+    "the ~60-byte raw text) -> ONE shuffle for the per-gram min-occurrence "
+    "window (partial min is map-side combinable when written as groupBy; "
+    "the window form keeps per-gram groups bounded by duplication count), "
+    "then a doc_id-keyed island merge whose groups are bounded by document "
+    "length. No all-pairs anything; a suffix array is the single-node "
+    "answer, the sliding-gram shuffle is the cluster answer. md5 collision "
+    "posture: same as dedup_fingerprint — 128-bit, corpus-scale collision "
+    "probability ~0, and a collision only ever over-marks a span.",
+    tags=("dedup", "text", "traindata", "spans"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        keys=["doc_id"],
+    )
+    k = EXSUB_K
+    toked = d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gh"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
+    )
+    o = F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        o.alias("o"),
+        F.min(o).over(Window.partitionBy("gh")).alias("first_o"),
+    )
+    dups = occ.filter(F.col("o") > F.col("first_o")).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dups.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("nf"),
+    )
+    isl = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("nf")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_dup_windows")

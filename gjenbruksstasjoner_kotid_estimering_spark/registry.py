@@ -62,9 +62,10 @@ def register(
 # oldest newest-evidence round (alphabetical within a round). Round-8
 # ordering below was generated from CORRECTNESS_r01..r07.
 _PRIORITY: tuple[str, ...] = (
-    # --- zero driver evidence (2 keys) ---
+    # --- zero driver evidence (2 keys + the round-8 addition) ---
     "timeseries_resample_ohlc",
     "window_time_range_rolling",
+    "dedup_exact_substring_spans",
     # --- newest driver evidence r1 (9 keys) ---
     "date_arith",
     "decimal_cast",

@@ -195,3 +195,67 @@ def test_bigram_coverage_invariants(spark):
     assert len(rows) == n_docs
     assert all(0 <= r.n_top_bigrams <= r.n_bigrams for r in rows)
     assert any(r.n_top_bigrams > 0 for r in rows)
+
+
+def test_exact_substring_spans_known_corpus(spark, tmp_path):
+    """Hand-built corpus: doc 2 copies an EXSUB_K+2-token run from doc 1
+    (span straddles no segment boundary alignment — the case
+    text_segment_dedup misses by construction), doc 3 shares nothing.
+    Expected: exactly one span in doc 2 covering the copied run; doc 1
+    (first occurrence) and doc 3 report nothing."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+        EXSUB_K,
+        dedup_exact_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(EXSUB_K + 2))
+    rows = [
+        (1, f"a0 a1 a2 {shared} a3 a4", "en", "web", 0),
+        (2, f"b0 {shared} b1 b2 b3 b4 b5", "en", "web", 0),
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "web", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = dedup_exact_substring_spans(spark, sf).collect()
+    assert len(out) == 1
+    span = out[0]
+    assert span.doc_id == 2
+    # shared run sits at 1-based token positions 2 .. 2+EXSUB_K+1 in doc 2
+    assert (span.span_start, span.span_end) == (2, 2 + EXSUB_K + 1)
+    # windows inside the run: (K+2) - K + 1 = 3
+    assert span.n_dup_windows == 3
+
+
+def test_exact_substring_spans_fixture_invariants(spark):
+    """Fixture-corpus properties that hold by construction: every span is
+    at least EXSUB_K tokens wide, spans within a doc are disjoint AND
+    separated by more than one token of gap-free coverage (maximality:
+    two spans closer than that would have merged), and every span fits
+    inside its document's token count."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+        EXSUB_K,
+        dedup_exact_substring_spans,
+    )
+
+    out = dedup_exact_substring_spans(spark, SF).collect()
+    assert out, "fixture corpus has duplicated windows by construction"
+    doc_len = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert r.span_end - r.span_start + 1 >= EXSUB_K
+        assert 1 <= r.span_start <= r.span_end <= doc_len[r.doc_id]
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r.span_start)
+        for a, b in zip(spans, spans[1:]):
+            # maximality: next span's first WINDOW start must be more than
+            # EXSUB_K past the previous span's last window start, i.e. the
+            # spans cannot be merge-adjacent
+            assert b.span_start > a.span_end + 1
