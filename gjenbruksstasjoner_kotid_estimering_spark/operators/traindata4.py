@@ -506,10 +506,41 @@ EXSUB_K = 8
 EXSUB_POS_CAP = 1_000_000
 
 
-@register(
-    "dedup_exact_substring_spans",
-    oracle=f"""
-        WITH toks AS (
+def _exsub_dup_window_starts(toked: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every EXSUB_K-token window that is NOT the first
+    corpus occurrence of its content — the shared core of the span
+    detector and the rewrite operator. ``toked`` is (doc_id, t:array).
+    One shuffle, keyed on the md5 of the window; per-gram window groups
+    are bounded by the gram's duplication count."""
+    k = EXSUB_K
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1),"
+                    f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gh"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
+    )
+    o = F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        o.alias("o"),
+        F.min(o).over(Window.partitionBy("gh")).alias("first_o"),
+    )
+    return occ.filter(F.col("o") > F.col("first_o")).select("doc_id", "pos")
+
+
+# Shared DuckDB CTE prefix: whitespace tokens -> EXSUB_K-gram md5 keys ->
+# non-first-occurrence window starts. Mirrors _exsub_dup_window_starts.
+_EXSUB_DUPS_CTE = f"""
+        toks AS (
           SELECT doc_id,
                  CASE WHEN text = '' THEN []
                       ELSE string_split_regex(text, '\\s+') END AS t
@@ -529,7 +560,14 @@ EXSUB_POS_CAP = 1_000_000
                      OVER (PARTITION BY gh) AS first_o
           FROM grams
         ),
-        dups AS (SELECT doc_id, pos FROM occ WHERE o > first_o),
+        dups AS (SELECT doc_id, pos FROM occ WHERE o > first_o)
+"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+        WITH {_EXSUB_DUPS_CTE},
         flagged AS (
           SELECT doc_id, pos,
                  CASE WHEN lag(pos) OVER w IS NULL
@@ -580,28 +618,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = EXSUB_K
     toked = d.select("doc_id", tokens_col(F.col("text")).alias("t"))
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("t") >= k,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k} + 1),"
-                    f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "gh"),
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
-    )
-    o = F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")
-    occ = grams.select(
-        "doc_id",
-        "pos",
-        o.alias("o"),
-        F.min(o).over(Window.partitionBy("gh")).alias("first_o"),
-    )
-    dups = occ.filter(F.col("o") > F.col("first_o")).select("doc_id", "pos")
+    dups = _exsub_dup_window_starts(toked)
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dups.select(
         "doc_id",
@@ -626,3 +643,97 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + k - 1).cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_windows"),
     ).select("doc_id", "span_start", "span_end", "n_dup_windows")
+
+
+@register(
+    "text_exact_substring_rewrite",
+    oracle=f"""
+        WITH {_EXSUB_DUPS_CTE},
+        covered AS (
+          SELECT DISTINCT doc_id, CAST(c AS BIGINT) AS p
+          FROM (SELECT doc_id, unnest(range(pos, pos + {EXSUB_K})) AS c
+                FROM dups)
+        ),
+        tokpos AS (
+          SELECT doc_id,
+                 CAST(generate_subscripts(t, 1) AS BIGINT) AS p,
+                 unnest(t) AS tok
+          FROM toks
+        ),
+        kept AS (
+          SELECT tp.doc_id, tp.p, tp.tok
+          FROM tokpos tp
+          LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+          WHERE c.p IS NULL
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_kept,
+                 coalesce(string_agg(tok, ' ' ORDER BY p), '')
+                     AS text_clean
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(CASE WHEN d.text = '' THEN []
+                        ELSE string_split_regex(d.text, '\\s+') END)
+                    AS BIGINT) AS n_tokens,
+               CAST(len(CASE WHEN d.text = '' THEN []
+                        ELSE string_split_regex(d.text, '\\s+') END)
+                    - coalesce(p.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(p.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="The REWRITE half of ExactSubstr dedup (Lee et al. 2022): every "
+    "token covered by a non-first-occurrence EXSUB_K-token window is "
+    "dropped and each document is re-assembled from its surviving tokens "
+    "(single-space joined — the tokenizer's normal form, same convention "
+    "as text_segment_dedup). dedup_exact_substring_spans is the detector "
+    "(spans report); this one actually produces the deduplicated corpus. "
+    "Scale shape on top of the shared dup-window core (one md5-gram "
+    "shuffle): covered-position expansion is O(dup_windows x K) rows, "
+    "de-duplicated and anti-joined against token positions on the doc_id "
+    "key, then one doc-keyed re-assembly whose groups are bounded by "
+    "document length. Every stage is keyed by doc_id or gram hash — no "
+    "all-pairs, no corpus-sized window.",
+    tags=("dedup", "text", "traindata", "rewrite"),
+)
+def text_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        keys=["doc_id"],
+    )
+    k = EXSUB_K
+    toked = d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    dups = _exsub_dup_window_starts(toked)
+    covered = dups.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("p"),
+    ).distinct()
+    tokpos = toked.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

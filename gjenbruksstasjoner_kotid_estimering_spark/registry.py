@@ -62,10 +62,11 @@ def register(
 # oldest newest-evidence round (alphabetical within a round). Round-8
 # ordering below was generated from CORRECTNESS_r01..r07.
 _PRIORITY: tuple[str, ...] = (
-    # --- zero driver evidence (2 keys + the round-8 addition) ---
+    # --- zero driver evidence (2 keys + the round-8 additions) ---
     "timeseries_resample_ohlc",
     "window_time_range_rolling",
     "dedup_exact_substring_spans",
+    "text_exact_substring_rewrite",
     # --- newest driver evidence r1 (9 keys) ---
     "date_arith",
     "decimal_cast",

@@ -259,3 +259,56 @@ def test_exact_substring_spans_fixture_invariants(spark):
             # EXSUB_K past the previous span's last window start, i.e. the
             # spans cannot be merge-adjacent
             assert b.span_start > a.span_end + 1
+
+
+def test_exact_substring_rewrite_known_corpus(spark, tmp_path):
+    """Same hand-built corpus as the spans test: doc 2's copied run is
+    removed token-exactly, doc 1 (first occurrence) and doc 3 come back
+    verbatim (single-space normal form)."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+        EXSUB_K,
+        text_exact_substring_rewrite,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(EXSUB_K + 2))
+    doc1 = f"a0 a1 a2 {shared} a3 a4"
+    doc2 = f"b0 {shared} b1 b2 b3 b4 b5"
+    doc3 = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, doc1, "en", "web", 0),
+            (2, doc2, "en", "web", 0),
+            (3, doc3, "en", "web", 0),
+        ],
+    )
+    out = {r.doc_id: r for r in text_exact_substring_rewrite(spark, sf).collect()}
+    assert out[1].text_clean == doc1 and out[1].n_removed == 0
+    assert out[3].text_clean == doc3 and out[3].n_removed == 0
+    assert out[2].text_clean == "b0 b1 b2 b3 b4 b5"
+    assert out[2].n_removed == EXSUB_K + 2
+    assert out[2].n_tokens == len(doc2.split())
+
+
+def test_exact_substring_rewrite_consistent_with_spans(spark):
+    """Cross-operator invariant on the fixture corpus: per doc, the total
+    token mass removed by the rewrite equals the union length of the
+    detector's spans (spans are disjoint by construction, so the union
+    length is the plain sum of widths)."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+        dedup_exact_substring_spans,
+        text_exact_substring_rewrite,
+    )
+
+    spans: dict[int, int] = {}
+    for r in dedup_exact_substring_spans(spark, SF).collect():
+        spans[r.doc_id] = spans.get(r.doc_id, 0) + (
+            r.span_end - r.span_start + 1
+        )
+    removed = {
+        r.doc_id: r.n_removed
+        for r in text_exact_substring_rewrite(spark, SF).collect()
+        if r.n_removed > 0
+    }
+    assert removed == spans
