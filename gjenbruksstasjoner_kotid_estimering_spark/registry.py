@@ -59,14 +59,14 @@ def register(
 # in tests/test_registry.py::test_priority_head_is_rotated): after each
 # driver round the head is rebuilt STALEST-FIRST from the union of
 # CORRECTNESS_r01..rNN — keys with zero driver evidence first, then by
-# oldest newest-evidence round (alphabetical within a round). Round-8
-# ordering below was generated from CORRECTNESS_r01..r07.
+# oldest newest-evidence round (alphabetical within a round).
+# Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- zero driver evidence (2 keys + the round-8 additions) ---
-    "timeseries_resample_ohlc",
-    "window_time_range_rolling",
+    # --- zero driver evidence (4 keys) ---
     "dedup_exact_substring_spans",
     "text_exact_substring_rewrite",
+    "timeseries_resample_ohlc",
+    "window_time_range_rolling",
     # --- newest driver evidence r1 (9 keys) ---
     "date_arith",
     "decimal_cast",
