@@ -510,8 +510,15 @@ def _exsub_dup_window_starts(toked: DataFrame) -> DataFrame:
     """(doc_id, pos) of every EXSUB_K-token window that is NOT the first
     corpus occurrence of its content — the shared core of the span
     detector and the rewrite operator. ``toked`` is (doc_id, t:array).
-    One shuffle, keyed on the md5 of the window; per-gram window groups
-    are bounded by the gram's duplication count."""
+
+    First occurrence is computed as groupBy(gh).min + an equi-join back,
+    NOT as a min-over-Window.partitionBy(gh): a corpus-viral 8-gram
+    (boilerplate, license headers) has corpus-sized duplication, and a
+    window partition is one unsplittable task, while the groupBy's
+    partial min combines map-side (one row per gram per map task reaches
+    the reducer) and the probe-side join skew is exactly what AQE
+    skew-join splits. Both sides hash by gh, so the exchange is shared.
+    """
     k = EXSUB_K
     grams = toked.select(
         "doc_id",
@@ -527,14 +534,18 @@ def _exsub_dup_window_starts(toked: DataFrame) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
     )
-    o = F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")
-    occ = grams.select(
-        "doc_id",
-        "pos",
-        o.alias("o"),
-        F.min(o).over(Window.partitionBy("gh")).alias("first_o"),
+    o = (F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")).alias("o")
+    firsts = grams.groupBy("gh").agg(
+        F.min(F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")).alias(
+            "first_o"
+        )
     )
-    return occ.filter(F.col("o") > F.col("first_o")).select("doc_id", "pos")
+    return (
+        grams.select("doc_id", "pos", "gh", o)
+        .join(firsts, "gh")
+        .filter(F.col("o") > F.col("first_o"))
+        .select("doc_id", "pos")
+    )
 
 
 # Shared DuckDB CTE prefix: whitespace tokens -> EXSUB_K-gram md5 keys ->
