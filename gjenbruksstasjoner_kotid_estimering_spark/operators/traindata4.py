@@ -126,8 +126,10 @@ MAD_SIGMAS = 3.0
     "needs exact segment equality — grouping by value IS the operator; "
     "a hash pre-filter would still have to confirm on value), one "
     "doc_id-keyed re-assembly that reuses the fan_out partitioning. "
-    "Per-segment window groups are bounded by the segment's duplication "
-    "count, never corpus-sized.",
+    "Keep-first is a groupBy(seg).min + equi-join, not a per-segment "
+    "window: partial min combines map-side and a corpus-viral segment "
+    "skews a splittable JOIN partition (AQE skew-join) instead of one "
+    "unsplittable window task.",
     tags=("text", "dedup", "c4", "window"),
 )
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,14 +148,24 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "seg"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "seg")
-    rn = F.row_number().over(
-        Window.partitionBy("seg").orderBy("doc_id", "idx")
+    # Keep-first = occurrence o equals the segment's global min(o) —
+    # groupBy + equi-join back rather than row_number over
+    # Window.partitionBy(seg): a corpus-viral segment would make the
+    # window partition one unsplittable task, while the groupBy's partial
+    # min combines map-side and probe-side join skew is what AQE
+    # skew-join splits (same rationale as _exsub_dup_window_starts;
+    # position bound documented at EXSUB_POS_CAP).
+    o = (F.col("doc_id") * EXSUB_POS_CAP + F.col("idx")).alias("o")
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.col("doc_id") * EXSUB_POS_CAP + F.col("idx")).alias(
+            "first_o"
+        )
     )
-    ranked = segs.withColumn("rn", rn)
-    kept_seg = F.when(F.col("rn") == 1, F.struct("idx", "seg"))
+    ranked = segs.select("doc_id", "idx", "seg", o).join(firsts, "seg")
+    kept_seg = F.when(F.col("o") == F.col("first_o"), F.struct("idx", "seg"))
     per_doc = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.count_if(F.col("o") == F.col("first_o")).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_seg)), lambda x: x["seg"]
