@@ -347,49 +347,68 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at rank (n+1) div 2 — a SELECTED input value, not an interpolated "
     "average, so all downstream arithmetic is exact and cross-engine "
     "stable), MAD of absolute deviations, count of |x-med| > 3·MAD. "
-    "Group count is event_type cardinality (tiny) so the median/MAD "
-    "frames broadcast back; the two rank passes are per-group sorts — "
-    "the price of EXACT medians (the approximate production form at "
-    "100 TB is the agg_approx_quantile lane; this operator is the exact "
-    "contract).",
+    "Both order statistics are read off VALUE-BIN cumulative counts "
+    "(groupBy (event_type, value) first, then a prefix-sum window over "
+    "the per-type distinct-value relation — the stat_mann_whitney "
+    "bin-level pattern), never a row_number over raw events: the window "
+    "group is the type's distinct-value support (bounded for quantized "
+    "telemetry values), not its corpus-sized row count, and the selected "
+    "median/MAD are still bit-exact input values. The approximate "
+    "production form for unbounded continuous supports at 100 TB is the "
+    "agg_approx_quantile lane; this operator is the exact contract.",
     tags=("events", "anomaly", "median", "window"),
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    w = Window.partitionBy("event_type")
-    ranked = e.select(
+    rank = F.expr("(n + 1) div 2")
+    bins = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    wv = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    binc = bins.select(
         "event_type",
         "value",
-        F.row_number().over(w.orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+        "c",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
     )
-    med = ranked.where(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("event_type", F.col("value").alias("med"))
-    dev = ranked.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "n",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    # the median bin is the one whose cumulative range covers the rank
+    med = binc.where(
+        (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank)
+    ).select("event_type", F.col("value").alias("med"), "n")
+    devb = (
+        bins.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+            "c",
+        )
+        .groupBy("event_type", "n", "dev")
+        .agg(F.sum("c").alias("c"))
     )
-    drn = F.row_number().over(
-        Window.partitionBy("event_type").orderBy("dev")
+    wd = wt.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    devc = devb.select(
+        "event_type", "n", "dev", "c", F.sum("c").over(wd).alias("cum")
     )
-    mad = (
-        dev.withColumn("drn", drn)
-        .where(F.col("drn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("dev").alias("mad"))
-    )
+    mad = devc.where(
+        (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank)
+    ).select("event_type", F.col("dev").alias("mad"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        devb.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med.select("event_type", "med")), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
             F.max("med").alias("med"),
             F.max("mad").alias("mad"),
-            F.count_if(F.col("dev") > F.lit(MAD_SIGMAS) * F.col("mad")).alias(
-                "n_anomalies"
-            ),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(MAD_SIGMAS) * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("n_anomalies"),
             F.max("dev").alias("max_dev"),
         )
     )
