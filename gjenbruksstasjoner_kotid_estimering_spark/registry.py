@@ -62,59 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- zero driver evidence (4 keys) ---
-    "dedup_exact_substring_spans",
-    "text_exact_substring_rewrite",
-    "timeseries_resample_ohlc",
-    "window_time_range_rolling",
-    # --- newest driver evidence r1 (9 keys) ---
-    "date_arith",
-    "decimal_cast",
-    "json_extract",
-    "json_struct_parse",
-    "null_funcs",
-    "regex_extract_timestamp",
-    "sort_multi",
-    "string_funcs2",
-    "try_funcs",
-    # --- newest driver evidence r2 (48 keys) ---
-    "agg_approx_quantile",
-    "agg_histogram",
-    "agg_hll_sketch",
-    "agg_median_mode",
-    "agg_percentiles",
-    "agg_salted_skew",
-    "array_funcs",
-    "array_predicates",
-    "asof_interp_join",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "explode_unpivot",
-    "join_asof_nearest",
-    "join_lateral",
-    "join_salted_skew",
-    "map_funcs",
-    "queue_estimate",
-    "set_intersect_except",
-    "set_union",
-    "set_union_all",
-    "similarity_pairs_lsh",
-    "similarity_topk",
-    "stream_tumbling_window",
-    "struct_map_funcs",
-    "subquery_correlated_scalar",
-    "subquery_exists",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
+    # --- newest driver evidence r2 (11 keys) ---
     "udaf_grouped_stats",
     "udtf_bigrams",
     "upsert_last_write_wins",
@@ -373,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "txn_multi_table_atomic",
     "udf_arrow_scalar",
     "udtf_table_arg_topk",
+    # --- newest driver evidence r8 (50 keys) ---
+    "agg_approx_quantile",
+    "agg_histogram",
+    "agg_hll_sketch",
+    "agg_median_mode",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "array_funcs",
+    "array_predicates",
+    "asof_interp_join",
+    "date_arith",
+    "decimal_cast",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_substring_spans",
+    "dedup_fingerprint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "explode_unpivot",
+    "join_asof_nearest",
+    "join_lateral",
+    "join_salted_skew",
+    "json_extract",
+    "json_struct_parse",
+    "map_funcs",
+    "null_funcs",
+    "queue_estimate",
+    "regex_extract_timestamp",
+    "set_intersect_except",
+    "set_union",
+    "set_union_all",
+    "similarity_pairs_lsh",
+    "similarity_topk",
+    "sort_multi",
+    "stream_tumbling_window",
+    "string_funcs2",
+    "struct_map_funcs",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "text_exact_substring_rewrite",
+    "timeseries_resample_ohlc",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "try_funcs",
+    "window_time_range_rolling",
 )
 
 

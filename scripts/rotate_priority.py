@@ -24,8 +24,6 @@ fails when this script hasn't been run.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import re
 import sys
@@ -34,16 +32,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY_PY = os.path.join(
     REPO, "gjenbruksstasjoner_kotid_estimering_spark", "registry.py"
 )
-
-
-def newest_evidence() -> dict[str, int]:
-    evidence: dict[str, int] = {}
-    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        data = json.load(open(f))
-        for key in data.get("queries", data):
-            evidence[key] = max(evidence.get(key, 0), rnd)
-    return evidence
 
 
 def build_block(order: list[str], evidence: dict[str, int]) -> str:
@@ -77,9 +65,10 @@ def build_block(order: list[str], evidence: dict[str, int]) -> str:
 def main() -> int:
     sys.path.insert(0, REPO)
     from gjenbruksstasjoner_kotid_estimering_spark import registry
+    from gjenbruksstasjoner_kotid_estimering_spark.evidence import newest_evidence
 
     names = list(registry.all_specs())
-    evidence = newest_evidence()
+    evidence = newest_evidence(REPO)
     order = sorted(names, key=lambda k: (evidence.get(k, 0), k))
     block = build_block(order, evidence)
 

@@ -29,9 +29,11 @@ def test_survey_manifest_matches_registry():
     """SURVEY.md §2 is the grading contract: its fenced registry-keys
     manifest must equal queries() exactly (r06 verdict: the survey had
     drifted 26 operators behind the registry)."""
+    import os
     import re
 
-    survey = open("SURVEY.md").read()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(repo_root, "SURVEY.md")).read()
     m = re.search(r"```registry-keys\n(.*?)```", survey, re.S)
     assert m, "SURVEY.md is missing the ```registry-keys``` manifest"
     manifest = set(m.group(1).split())
@@ -43,31 +45,58 @@ def test_survey_manifest_matches_registry():
     )
 
 
+def test_evidence_parser_rejects_unknown_sidecar_shapes(tmp_path):
+    """A list-shaped or wrapped-non-dict sidecar must raise, not silently
+    record wrong keys (r8 advice on newest_evidence duck-typing)."""
+    import json
+
+    import pytest
+
+    from gjenbruksstasjoner_kotid_estimering_spark import evidence as ev
+
+    flat = tmp_path / "CORRECTNESS_r01.json"
+    flat.write_text(json.dumps({"tpch_q1": {"rows_match": True}}))
+    assert ev.sidecar_keys(str(flat)) == {"tpch_q1"}
+    assert ev.sidecar_round(str(flat)) == 1
+
+    wrapped = tmp_path / "CORRECTNESS_r02.json"
+    wrapped.write_text(json.dumps({"queries": {"tpch_q3": {}}, "sf": 0.01}))
+    assert ev.sidecar_keys(str(wrapped)) == {"tpch_q3"}
+
+    assert ev.newest_evidence(str(tmp_path)) == {"tpch_q1": 1, "tpch_q3": 2}
+
+    bad = tmp_path / "CORRECTNESS_r03.json"
+    bad.write_text(json.dumps([{"key": "tpch_q1"}]))
+    with pytest.raises(ValueError, match="CORRECTNESS_r03"):
+        ev.sidecar_keys(str(bad))
+    with pytest.raises(ValueError, match="CORRECTNESS_r03"):
+        ev.newest_evidence(str(tmp_path))
+
+
 def test_priority_head_is_rotated():
     """Rotation contract (r7 verdict #2/#7): the ~50-key driver budget samples
     the _PRIORITY head, so after each driver round the head must be rebuilt
     stalest-first. Concretely: no key in the first 50 slots may appear in the
     NEWEST CORRECTNESS_r*.json while keys with older (or zero) driver
     evidence exist — otherwise the next round's entire sample budget
-    re-verifies rows the driver just confirmed."""
-    import glob
-    import json
-    import re
+    re-verifies rows the driver just confirmed.
 
-    files = sorted(
-        glob.glob("CORRECTNESS_r*.json"),
-        key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
-    )
+    Evidence parsing is shared with scripts/rotate_priority.py via
+    gjenbruksstasjoner_kotid_estimering_spark.evidence (r8 advice: one
+    parser, explicit shape validation), and the sidecar glob is anchored to
+    the repo root derived from __file__ so the test doesn't silently
+    early-return when pytest runs from another cwd."""
+    import os
+
+    from gjenbruksstasjoner_kotid_estimering_spark import evidence as ev
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = ev.sidecar_files(repo_root)
     if not files:  # fresh checkout without driver artifacts
         return
-    evidence: dict[str, int] = {}
-    for f in files:
-        rnd = int(re.search(r"r(\d+)", f).group(1))
-        data = json.load(open(f))
-        for key in data.get("queries", data):
-            evidence[key] = max(evidence.get(key, 0), rnd)
-    newest_round = int(re.search(r"r(\d+)", files[-1]).group(1))
-    newest_keys = set(json.load(open(files[-1])).get("queries", json.load(open(files[-1]))))
+    evidence = ev.newest_evidence(repo_root)
+    newest_round = ev.sidecar_round(files[-1])
+    newest_keys = ev.sidecar_keys(files[-1])
     all_keys = set(registry.all_specs())
     staler_exist = any(evidence.get(k, 0) < newest_round for k in all_keys)
     if not staler_exist:
