@@ -347,25 +347,35 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at rank (n+1) div 2 — a SELECTED input value, not an interpolated "
     "average, so all downstream arithmetic is exact and cross-engine "
     "stable), MAD of absolute deviations, count of |x-med| > 3·MAD. "
-    "Both order statistics are read off VALUE-BIN cumulative counts "
-    "(groupBy (event_type, value) first, then a prefix-sum window over "
-    "the per-type distinct-value relation — the stat_mann_whitney "
-    "bin-level pattern), never a row_number over raw events: the window "
-    "group is the type's distinct-value support (bounded for quantized "
-    "telemetry values), not its corpus-sized row count, and the selected "
-    "median/MAD are still bit-exact input values. The approximate "
-    "production form for unbounded continuous supports at 100 TB is the "
-    "agg_approx_quantile lane; this operator is the exact contract.",
+    "Both order statistics are read off BIN-LEVEL cumulative counts, "
+    "never a row_number over raw events, and the first-stage bin key is "
+    "INTEGER CENTS (round(value*100)::long — the stat_mann_whitney / "
+    "stat_ks pattern), so the ordered-window support is domain-bounded "
+    "by construction (≤ value_range·100 bins at any corpus size), not "
+    "by fixture luck on the distinct-value count. Each cents bin "
+    "carries its exact raw value (min(value) — injective for the "
+    "2dp-quantized telemetry contract, guarded per sf dir by "
+    "tests/test_traindata4.py::test_anomaly_mad_cents_encoding_is_lossless), "
+    "so the selected median/MAD and every deviation stay bit-exact raw "
+    "doubles matching the oracle's arithmetic. The second (deviation) "
+    "window consumes the dev-bin relation derived from the cents bins — "
+    "≤ the same bound. The approximate production form for unbounded "
+    "continuous supports at 100 TB is the agg_approx_quantile lane; "
+    "this operator is the exact contract.",
     tags=("events", "anomaly", "median", "window"),
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "value",
+    )
     rank = F.expr("(n + 1) div 2")
-    bins = e.groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).alias("c")
+    bins = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c"), F.min("value").alias("value")
     )
     wt = Window.partitionBy("event_type")
-    wv = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wv = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     binc = bins.select(
         "event_type",
         "value",
@@ -533,7 +543,9 @@ EXSUB_K = 8
 # per-document token count < EXSUB_POS_CAP (1e6 tokens ~ 4 MB of text — a
 # web-corpus document above that is pathological and belongs to the length
 # filter, not this operator) and doc_id < ~9.2e12 so the product stays
-# inside BIGINT.
+# inside BIGINT. ENFORCED at runtime by the assert_true guard in
+# _exsub_dup_window_starts (a violation raises naming the doc_id instead
+# of silently interleaving occurrence keys across documents).
 EXSUB_POS_CAP = 1_000_000
 
 
@@ -551,19 +563,48 @@ def _exsub_dup_window_starts(toked: DataFrame) -> DataFrame:
     skew-join splits. Both sides hash by gh, so the exchange is shared.
     """
     k = EXSUB_K
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("t") >= k,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k} + 1),"
-                    f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
+    # Runtime guard for the documented EXSUB_POS_CAP bound (r8 advice):
+    # a >=1e6-token document would interleave occurrence keys across
+    # documents and — because the DuckDB oracle uses the IDENTICAL
+    # encoding — produce matching-but-wrong output the hash compare
+    # cannot catch. assert_true is folded into the pos arithmetic
+    # (coalesce(NULL-on-pass, 0)) so column pruning can't drop it; the
+    # per-gram cost is one long comparison.
+    overflow = F.coalesce(
+        F.assert_true(
+            F.col("nt") < EXSUB_POS_CAP,
+            F.concat(
+                F.lit(
+                    "exact-substring occurrence order overflows "
+                    f"EXSUB_POS_CAP={EXSUB_POS_CAP}: doc_id="
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos0", "gh"),
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
+                F.col("doc_id").cast("string"),
+                F.lit(" has token count "),
+                F.col("nt").cast("string"),
+                F.lit(" — route it to the length-filter lane"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    grams = (
+        toked.select(
+            "doc_id",
+            F.size("t").alias("nt"),
+            F.posexplode(
+                F.when(
+                    F.size("t") >= k,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {k} + 1),"
+                        f" i -> md5(array_join(slice(t, i, {k}), ' ')))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos0", "gh"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1 + overflow).cast("long").alias("pos"),
+            "gh",
+        )
     )
     o = (F.col("doc_id") * EXSUB_POS_CAP + F.col("pos")).alias("o")
     firsts = grams.groupBy("gh").agg(

@@ -16,9 +16,14 @@ from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
 
 
 def _read_all(reader):
+    # read() yields pyarrow RecordBatches (the Arrow fast path); flatten
+    # back to (id, bucket, value_cents) tuples for the assertions
     rows = []
     for part in reader.partitions():
-        rows.extend(reader.read(part))
+        for batch in reader.read(part):
+            rows.extend(
+                tuple(rec.values()) for rec in batch.to_pylist()
+            )
     return rows
 
 

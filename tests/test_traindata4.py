@@ -135,6 +135,62 @@ def test_anomaly_mad_against_pandas(spark):
         assert r.max_dev == devs[-1]
 
 
+def test_anomaly_mad_cents_encoding_is_lossless(spark):
+    """events_anomaly_mad's first-stage bin key is integer cents; its
+    carried min(value)-per-bin representative is exact only while the
+    cents encoding is injective on raw values (the 2dp-quantized
+    telemetry contract). Guard every sf dir the driver can point at, the
+    way the watermark-boundary fixture guard does — a regenerated events
+    table with sub-cent values must fail HERE, not as a silent oracle
+    mismatch."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        e = load_table(spark, f"/root/testdata/{sf}", "events")
+        row = e.select(
+            F.countDistinct("value").alias("nv"),
+            F.countDistinct(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("nc"),
+            F.max(
+                (
+                    F.col("value")
+                    != F.round(F.col("value") * 100) / F.lit(100.0)
+                ).cast("int")
+            ).alias("inexact"),
+        ).collect()[0]
+        assert row.nv == row.nc, f"{sf}: cents encoding not injective"
+        assert row.inexact == 0, f"{sf}: value != cents/100 bit-exactly"
+
+
+def test_anomaly_mad_windows_are_bin_sized(spark):
+    """Both ordered windows must consume post-aggregate bin relations,
+    never raw event rows: every Window node sits ABOVE an Aggregate in
+    the optimized plan (children print below parents), and the
+    first-stage Aggregate groups on the integer cents key — the
+    domain-bounded support the r8 verdict asked for."""
+    plan = (
+        events_anomaly_mad(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    win_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "windowspecdefinition" in l.lower()
+        or "Window" in l.split("+-")[-1]
+    ]
+    assert win_idx, plan
+    agg_idx = [i for i, l in enumerate(lines) if "Aggregate" in l]
+    assert agg_idx, plan
+    # every window has an aggregate strictly below it (bin-sized input)
+    assert all(any(a > w for a in agg_idx) for w in win_idx), plan
+    # the first-stage groupBy is keyed on cents, not raw value
+    assert any(
+        "Aggregate" in l and "cents" in l for l in lines
+    ), plan
+
+
 def test_gopher_flags_logic(spark, tmp_path):
     rows = [
         (1, "the " + " ".join(f"w{i}" for i in range(20)), "en", "x", 0),
@@ -195,6 +251,32 @@ def test_bigram_coverage_invariants(spark):
     assert len(rows) == n_docs
     assert all(0 <= r.n_top_bigrams <= r.n_bigrams for r in rows)
     assert any(r.n_top_bigrams > 0 for r in rows)
+
+
+def test_exsub_pos_cap_overflow_raises(spark, tmp_path, monkeypatch):
+    """The doc_id*EXSUB_POS_CAP+pos total order silently interleaves
+    occurrence keys across documents once any document reaches
+    EXSUB_POS_CAP tokens — and the oracle shares the encoding, so the
+    hash gate can't catch it (r8 advice). The runtime guard must raise
+    naming the offending doc instead. Patched cap keeps the fixture
+    small; the guard reads the module global at call time."""
+    import pytest
+
+    from gjenbruksstasjoner_kotid_estimering_spark.operators import (
+        traindata4 as td4,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(20)), "en", "x", 0),
+        (2, "short doc here", "en", "x", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    monkeypatch.setattr(td4, "EXSUB_POS_CAP", 16)
+    with pytest.raises(Exception, match="overflows"):
+        td4.dedup_exact_substring_spans(spark, sf).collect()
+    # under the real cap the same corpus runs clean
+    monkeypatch.setattr(td4, "EXSUB_POS_CAP", 1_000_000)
+    assert td4.dedup_exact_substring_spans(spark, sf).collect() == []
 
 
 def test_exact_substring_spans_known_corpus(spark, tmp_path):
@@ -317,8 +399,11 @@ def test_exact_substring_rewrite_consistent_with_spans(spark):
 def test_exact_substring_plans_are_keyed(spark):
     """Pin the at-scale shape claims: neither exact-substring operator may
     contain an all-pairs join (CartesianProduct / non-broadcast nested
-    loop), and the dup-window core costs exactly one gram-keyed exchange
-    in the detector's plan before the doc-keyed stages."""
+    loop), and the dup-window core costs exactly ONE gram-keyed shuffle
+    exchange — the groupBy(gh) aggregation. At this sf the firsts side of
+    the keep-first join broadcasts, so a second gh exchange appearing
+    here means the core regressed to a window/sort form (r8 advice: count
+    the exchanges, don't just ban cartesians)."""
     from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
         dedup_exact_substring_spans,
         text_exact_substring_rewrite,
@@ -330,3 +415,13 @@ def test_exact_substring_plans_are_keyed(spark):
         )
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoop" not in plan, plan
+        gh_exchanges = [
+            l
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(gh" in l
+        ]
+        assert len(gh_exchanges) == 1, (
+            f"{op.__name__}: expected exactly one gram-keyed shuffle "
+            f"(the groupBy(gh) partial-min aggregation), got "
+            f"{len(gh_exchanges)}:\n{plan}"
+        )
