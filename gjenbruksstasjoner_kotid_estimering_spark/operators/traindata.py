@@ -35,6 +35,12 @@ from ..registry import register
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+# KMeans centers for semantic dedup are learned from a deterministic
+# hash sample of at most max(this, 32·k) vectors — the fit cost is then
+# O(cap·k·iters) independent of corpus size (SemDeDup production shape:
+# centers from a sample, assignment over everything).
+KMEANS_FIT_SAMPLE_CAP = 65_536
+
 
 @register(
     "text_pii_redact",
@@ -425,6 +431,28 @@ def semantic_dedup_frame(
     # this corpus — it just runs all 20 rounds. 8 rounds at a loose tol
     # halves the fit cost; the dedup invariants
     # (tests/test_semantic_scale.py) are cluster-shape-independent.
+    #
+    # The fit input is decoupled from the corpus (r8 verdict #5): centers
+    # are learned from a DETERMINISTIC hash sample capped at
+    # KMEANS_FIT_SAMPLE_CAP rows (xxhash64(vec_id) residue — stable
+    # across runs and executors, no Math.random), coalesced so each fit
+    # job runs a handful of right-sized tasks instead of 32 near-empty
+    # ones (at sf0.1 the whole frame is 2k rows — the old fit cost was
+    # almost entirely per-job scheduling tax, and its 4-7s sweep swings
+    # were that tax's jitter). initMode='random' drops the multi-pass
+    # kmeans|| init — for coarse blocking the seeded random start is
+    # just as good and several distributed passes cheaper. transform()
+    # still scores the FULL frame distributed; at 100 TB the fit is
+    # O(cap·k·iters) regardless of corpus size, which is the SemDeDup
+    # production shape (centers from a sample, assignment over all).
+    cap = max(KMEANS_FIT_SAMPLE_CAP, 32 * k)  # ≥~32 sample pts per center
+    fit_input = feats
+    if n > cap:
+        keep_ppm = (cap * 1_000_000) // n
+        fit_input = feats.where(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)) < keep_ppm
+        )
+    fit_input = fit_input.coalesce(max(1, min(n, cap) // 8192 + 1))
     km = KMeans(
         k=k,
         seed=SEED if seed is None else seed,
@@ -432,6 +460,7 @@ def semantic_dedup_frame(
         predictionCol="cluster",
         maxIter=8,
         tol=1e-3,
+        initMode="random",
     )
     # Norms are computed ONCE per vector before the self-join; inside the
     # join each candidate pair would re-fold 2×64 elements — per-side
@@ -444,7 +473,7 @@ def semantic_dedup_frame(
         )
     )
     assigned = (
-        km.fit(feats)
+        km.fit(fit_input)
         .transform(feats)
         .select("vec_id", "cluster", "embedding", norm_of.alias("nrm"))
     )
