@@ -68,7 +68,6 @@ def stream_python_datasource_true(
 ) -> DataFrame:
     import os
     import shutil
-    import time
     import uuid
 
     from ..scratch import new_scratch_dir
@@ -87,9 +86,12 @@ def stream_python_datasource_true(
     )
     # AvailableNow snapshots only the offsets PREFETCHED at start — for a
     # SimpleDataSourceStreamReader that is one micro-batch, not the whole
-    # series — so this drain polls a continuous-trigger query until the
-    # aggregate accounts for every row, the stop condition a bounded
-    # queue drain uses in production (consume to a KNOWN end offset).
+    # series — so this drain runs a continuous-trigger query and blocks on
+    # processAllAvailable(): the reader reports caught-up once the offset
+    # walk reaches STREAM_ROWS, so the call returns exactly when the
+    # bounded series is consumed (no sleep-poll; r9 A/B: ~0.4s faster and
+    # no magic polling interval). The post-drain row-count assertion keeps
+    # the consume-to-a-KNOWN-end-offset contract explicit.
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"stream_pyds_{sf_tag}_{uuid.uuid4().hex[:8]}"
     ckpt = new_scratch_dir(f"ckpt_pyds_{sf_tag}")
@@ -104,19 +106,16 @@ def stream_python_datasource_true(
         .start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            seen = (
-                spark.table(name)
-                .agg(F.coalesce(F.sum("n"), F.lit(0)))
-                .collect()[0][0]
-            )
-            if seen >= STREAM_ROWS:
-                break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(
-                f"stream drained {seen}/{STREAM_ROWS} rows in 120s"
+        q.processAllAvailable()
+        seen = (
+            spark.table(name)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .collect()[0][0]
+        )
+        if seen != STREAM_ROWS:
+            raise RuntimeError(
+                f"stream drained {seen}/{STREAM_ROWS} rows — the source "
+                "reported caught-up before the known end offset"
             )
         out = spark.table(name).localCheckpoint(eager=True)
     finally:
