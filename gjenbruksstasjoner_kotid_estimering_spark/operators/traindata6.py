@@ -224,6 +224,15 @@ def text_pmi_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lw", "rw")
         .agg(F.count(F.lit(1)).cast("long").alias("cp"))
     )
+    # Materialize both count relations ONCE: uni feeds three consumers
+    # (the m total, ul, ur) and big two (the n total, the probe side) —
+    # without this each consumer re-runs the full-corpus tokenize +
+    # explode + groupBy from lineage (up to five corpus passes for one
+    # query). The checkpointed relations are the DISTINCT unigram /
+    # bigram tables — vocabulary-sized, orders of magnitude smaller than
+    # re-tokenizing the corpus at any scale where PMI mining is sane.
+    uni = uni.localCheckpoint(eager=True)
+    big = big.localCheckpoint(eager=True)
     tot = (
         uni.agg(F.sum("cu").cast("long").alias("m"))
         .crossJoin(big.agg(F.sum("cp").cast("long").alias("n")))
