@@ -191,6 +191,62 @@ def test_anomaly_mad_windows_are_bin_sized(spark):
     ), plan
 
 
+def test_anomaly_mad_cents_form_on_random_2dp_corpora(spark, tmp_path):
+    """Property test (hypothesis): on ANY 2dp-quantized corpus the
+    cents-binned form must agree with the naive per-row lower-median/MAD
+    reference — heavy ties, single-row groups, and multi-type splits
+    included. Catches rank bookkeeping errors the fixed fixture can't."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        cents=st.lists(st.integers(0, 5000), min_size=1, max_size=60),
+        ntypes=st.integers(1, 3),
+    )
+    def check(cents, ntypes):
+        rows = [
+            (i, "2020-05-06 07:00:00", i, v / 100.0, f"t{i % ntypes}")
+            for i, v in enumerate(cents)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, value double, "
+            "event_type string",
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "value",
+            "event_type",
+        )
+        counter[0] += 1
+        sf = str(tmp_path / f"sf_mad_{counter[0]}")
+        df.write.parquet(f"{sf}/events.parquet")
+        got = {
+            r.event_type: r for r in events_anomaly_mad(spark, sf).collect()
+        }
+        by_type: dict[str, list[float]] = {}
+        for i, v in enumerate(cents):
+            by_type.setdefault(f"t{i % ntypes}", []).append(v / 100.0)
+        assert set(got) == set(by_type)
+        for etype, vals in by_type.items():
+            vals = sorted(vals)
+            n = len(vals)
+            med = vals[(n + 1) // 2 - 1]
+            devs = sorted(abs(v - med) for v in vals)
+            mad = devs[(n + 1) // 2 - 1]
+            r = got[etype]
+            assert r.n == n and r.med == med and r.mad == mad
+            assert r.max_dev == devs[-1]
+            assert r.n_anomalies == sum(
+                1 for d in devs if d > MAD_SIGMAS * mad
+            )
+
+    check()
+
+
 def test_gopher_flags_logic(spark, tmp_path):
     rows = [
         (1, "the " + " ".join(f"w{i}" for i in range(20)), "en", "x", 0),

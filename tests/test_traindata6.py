@@ -111,3 +111,19 @@ def test_map_in_arrow_plan_is_single_arrow_exchange(spark):
     assert plan.count("MapInArrow") == 1
     # no pandas path anywhere in the plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_count_relations_materialize_once(spark):
+    """The unigram/bigram count relations feed multiple consumers; they
+    must be materialized (localCheckpoint -> ExistingRDD scans), so the
+    final plan contains NO parquet re-scan of documents - without this
+    each consumer re-ran the full-corpus tokenize+groupBy from lineage
+    (up to five corpus passes per query, r9 fix)."""
+    plan = (
+        t6.text_pmi_positive_pairs(spark, SF0001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents" not in plan, plan  # no file re-scan survives
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
