@@ -62,58 +62,11 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r2 (11 keys) ---
-    "udaf_grouped_stats",
-    "udtf_bigrams",
-    "upsert_last_write_wins",
-    "upsert_sink_shape",
-    "window_first_last_nth",
-    "window_frame_agg",
-    "window_lag_lead",
-    "window_ntile",
-    "window_percent_rank",
-    "window_range_frame",
-    "window_rank",
-    # --- newest driver evidence r3 (50 keys) ---
-    "agg_bitwise",
-    "array_funcs2",
-    "corpus_mixture_weights",
-    "corpus_to_shards_pipeline",
-    "dedup_incremental",
-    "dedup_semantic_kmeans",
-    "dedup_time_bounded",
-    "doc_pack_sequences",
-    "embedding_centroids",
-    "explode_outer_slices",
-    "graph_pagerank",
-    "join_asof_tolerance",
-    "join_interval_events",
-    "join_null_safe",
-    "json_variant_get",
-    "map_hof_funcs",
-    "ml_classifier_eval",
-    "queue_estimate_ml",
-    "sample_stratified_exact",
-    "scd2_intervals",
-    "session_window_agg",
-    "sessionize_gaps",
-    "similarity_knn_join",
-    "similarity_topk_ivf",
-    "stream_sliding_window",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_tfidf",
-    "text_tfidf_exact",
-    "text_vocab_encode",
-    "timeseries_gapfill",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
+    # --- pinned: rewritten since newest evidence (3 keys) ---
+    "events_anomaly_mad",
+    "text_segment_dedup",
+    "text_pmi_positive_pairs",
+    # --- newest driver evidence r3 (11 keys) ---
     "tpch_q17",
     "tpch_q19",
     "tpch_q2",
@@ -125,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q8",
     "tpch_q9",
     "window_ignore_nulls",
-    # --- newest driver evidence r4 (43 keys) ---
+    # --- newest driver evidence r4 (41 keys) ---
     "agg_approx_distinct",
     "agg_basic",
     "agg_cube",
@@ -142,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_winnow_pairs",
     "doc_chunk_overlap",
     "events_ab_test",
-    "events_anomaly_mad",
     "events_funnel",
     "events_pattern_peaks",
     "events_retention_cohorts",
@@ -163,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "stat_regression_exact",
     "text_bm25_rank",
     "text_gopher_quality_flags",
-    "text_segment_dedup",
     "text_winnow_fingerprints",
     "timeseries_rollup_cascade",
     "udtf_polymorphic_split",
@@ -219,7 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_counts",
     "unpivot_melt",
     "window_running_distinct",
-    # --- newest driver evidence r6 (50 keys) ---
+    # --- newest driver evidence r6 (49 keys) ---
     "agg_count_min_sketch",
     "agg_kmv_sketch_rollup",
     "agg_listagg_ordered",
@@ -262,7 +213,6 @@ _PRIORITY: tuple[str, ...] = (
     "string_url_parse",
     "subquery_not_in_null_semantics",
     "text_heavy_hitter_tokens",
-    "text_pmi_positive_pairs",
     "text_ttr_lexical_diversity",
     "text_url_canonical_dedup",
     "timeseries_ewma_dyadic",
@@ -372,6 +322,57 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q6",
     "try_funcs",
     "window_time_range_rolling",
+    # --- newest driver evidence r9 (50 keys) ---
+    "agg_bitwise",
+    "array_funcs2",
+    "corpus_mixture_weights",
+    "corpus_to_shards_pipeline",
+    "dedup_incremental",
+    "dedup_semantic_kmeans",
+    "dedup_time_bounded",
+    "doc_pack_sequences",
+    "embedding_centroids",
+    "explode_outer_slices",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_interval_events",
+    "join_null_safe",
+    "json_variant_get",
+    "map_hof_funcs",
+    "ml_classifier_eval",
+    "queue_estimate_ml",
+    "sample_stratified_exact",
+    "scd2_intervals",
+    "session_window_agg",
+    "sessionize_gaps",
+    "similarity_knn_join",
+    "similarity_topk_ivf",
+    "stream_sliding_window",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_tfidf_exact",
+    "text_vocab_encode",
+    "timeseries_gapfill",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "udaf_grouped_stats",
+    "udtf_bigrams",
+    "upsert_last_write_wins",
+    "upsert_sink_shape",
+    "window_first_last_nth",
+    "window_frame_agg",
+    "window_lag_lead",
+    "window_ntile",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_rank",
 )
 
 

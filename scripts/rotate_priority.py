@@ -28,13 +28,28 @@ import os
 import re
 import sys
 
+# Keys whose Spark plan was REWRITTEN after their newest driver evidence
+# round — the driver has never value-hashed the current implementation, so
+# they jump the stalest-first queue (r9 verdict #2). Maintain per round:
+# add a key here when its implementation changes, remove it once the next
+# CORRECTNESS_r*.json hash-confirms it (the evidence union then outranks
+# the pin anyway). Pinned keys must NOT appear in the newest sidecar's
+# sample or the tripwire test fires.
+PINNED_REWRITTEN: tuple[str, ...] = (
+    "events_anomaly_mad",  # cents-binned rewrite r9; newest evidence r4
+    "text_segment_dedup",  # skew rewrite r8; newest evidence r4
+    "text_pmi_positive_pairs",  # materialize-once r9; newest evidence r8
+)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY_PY = os.path.join(
     REPO, "gjenbruksstasjoner_kotid_estimering_spark", "registry.py"
 )
 
 
-def build_block(order: list[str], evidence: dict[str, int]) -> str:
+def build_block(
+    order: list[str], evidence: dict[str, int], pins: list[str] | None = None
+) -> str:
     lines = [
         "# The driver's correctness sweep walks ``queries()`` in dict-insertion",
         "# order under a ~50-query-per-round budget. Rotation contract (encoded",
@@ -45,8 +60,17 @@ def build_block(order: list[str], evidence: dict[str, int]) -> str:
         "# Regenerate with: python scripts/rotate_priority.py",
         "_PRIORITY: tuple[str, ...] = (",
     ]
+    pins = pins or []
+    if pins:
+        lines.append(
+            f"    # --- pinned: rewritten since newest evidence ({len(pins)} keys) ---"
+        )
+        for key in pins:
+            lines.append(f'    "{key}",')
     cur: int | None = None
     for key in order:
+        if key in pins:
+            continue
         rnd = evidence.get(key, 0)
         if rnd != cur:
             cur = rnd
@@ -55,7 +79,11 @@ def build_block(order: list[str], evidence: dict[str, int]) -> str:
                 if rnd == 0
                 else f"newest driver evidence r{rnd}"
             )
-            n = sum(1 for k in order if evidence.get(k, 0) == rnd)
+            n = sum(
+                1
+                for k in order
+                if k not in pins and evidence.get(k, 0) == rnd
+            )
             lines.append(f"    # --- {label} ({n} keys) ---")
         lines.append(f'    "{key}",')
     lines.append(")")
@@ -70,7 +98,21 @@ def main() -> int:
     names = list(registry.all_specs())
     evidence = newest_evidence(REPO)
     order = sorted(names, key=lambda k: (evidence.get(k, 0), k))
-    block = build_block(order, evidence)
+    pins = [k for k in PINNED_REWRITTEN if k in names]
+    dropped = [
+        k
+        for k in pins
+        if evidence.get(k, 0) >= max(evidence.values(), default=0)
+    ]
+    if dropped:
+        print(
+            "rotate_priority: WARNING pinned keys already have newest-round "
+            f"evidence (remove from PINNED_REWRITTEN): {dropped}",
+            file=sys.stderr,
+        )
+    pins = [k for k in pins if k not in dropped]
+    order = pins + [k for k in order if k not in pins]
+    block = build_block(order, evidence, pins)
 
     src = open(REGISTRY_PY).read()
     pattern = re.compile(
