@@ -79,6 +79,36 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
+        # Python DataSource SINK twin (r9 verdict #4): the write side pays
+        # its own one-time worker/plan setup that the scan warmup doesn't
+        # touch (sink_python_datasource was the slowest sweep row at
+        # 5.99s driver / ~0.9s isolated-warm). A 64-row graft_jsonl write
+        # to a throwaway scratch dir moves that setup out of the timed
+        # region too.
+        import shutil
+
+        from gjenbruksstasjoner_kotid_estimering_spark.scratch import (
+            new_scratch_dir,
+        )
+        from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
+            register_graft_jsonl,
+        )
+
+        register_graft_jsonl(spark)
+        warm_sink = new_scratch_dir("bench_warm_sink")
+        try:
+            (
+                spark.read.format("graft_series")
+                .option("rows", 64)
+                .option("partitions", 2)
+                .load()
+                .write.format("graft_jsonl")
+                .option("path", warm_sink)
+                .mode("append")
+                .save()
+            )
+        finally:
+            shutil.rmtree(warm_sink, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
