@@ -44,7 +44,12 @@ def sidecar_keys(path: str) -> set[str]:
             f"{path}: expected a dict of query keys (flat or under 'queries'), "
             f"got {type(data).__name__}"
         )
-    return set(data)
+    # A flat-shaped sidecar may carry scalar METADATA entries next to the
+    # per-query dicts (e.g. {"tpch_q1": {...}, "sf": 0.01}); only dict
+    # values are query records — letting scalars through would rotate the
+    # priority head around phantom keys (r9 advice: the duck-typing gap
+    # existed for the flat shape, not just the wrapped one).
+    return {k for k, v in data.items() if isinstance(v, dict)}
 
 
 def sidecar_files(repo_root: str) -> list[str]:

@@ -92,6 +92,12 @@ def stream_python_datasource_true(
     # bounded series is consumed (no sleep-poll; r9 A/B: ~0.4s faster and
     # no magic polling interval). The post-drain row-count assertion keeps
     # the consume-to-a-KNOWN-end-offset contract explicit.
+    #
+    # Watchdog (r9 advice): processAllAvailable() alone has no timeout —
+    # a Python stream worker that stalls WITHOUT erroring (hung reader,
+    # offsets not advancing) would block the whole sweep forever. A
+    # daemon Timer stops the query at the deadline; the flag turns that
+    # stop into a loud TimeoutError instead of a silent partial drain.
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"stream_pyds_{sf_tag}_{uuid.uuid4().hex[:8]}"
     ckpt = new_scratch_dir(f"ckpt_pyds_{sf_tag}")
@@ -105,8 +111,28 @@ def stream_python_datasource_true(
         .queryName(name)
         .start()
     )
+    import threading
+
+    drain_deadline = 120.0
+    timed_out = threading.Event()
+
+    def _watchdog_stop() -> None:
+        timed_out.set()
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+    watchdog = threading.Timer(drain_deadline, _watchdog_stop)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         q.processAllAvailable()
+        if timed_out.is_set():
+            raise TimeoutError(
+                f"stream drain exceeded {drain_deadline}s — the source "
+                "stalled without erroring (offsets not advancing?)"
+            )
         seen = (
             spark.table(name)
             .agg(F.coalesce(F.sum("n"), F.lit(0)))
@@ -119,6 +145,7 @@ def stream_python_datasource_true(
             )
         out = spark.table(name).localCheckpoint(eager=True)
     finally:
+        watchdog.cancel()
         try:
             q.stop()
         except Exception:

@@ -37,11 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gjenbruksstasjoner_kotid_estimering_spark import registry
 from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
-TABLE_RE = re.compile(r"/(\w+)\.parquet")
-
-
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # Anchor the match on the FULL source path (r9 advice): a basename
+    # regex plus a plan-wide `sf_dir/<table>.parquet in plan` check would
+    # count a builder's SCRATCH file named like a source table (e.g. a
+    # scratch events.parquet feed) toward the source tally whenever the
+    # real source also appears anywhere in the plan.
+    table_re = re.compile(re.escape(sf_dir.rstrip("/")) + r"/(\w+)\.parquet")
     spark = get_spark("rescan-audit")
     flagged: list[tuple[str, str, int]] = []
     errors: list[str] = []
@@ -52,13 +55,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — audit must finish
             errors.append(f"{name}: {type(exc).__name__}")
             continue
-        # count only SOURCE-TABLE scans (the testdata dir), not scratch
-        # files a builder wrote itself (feeds, stores, bucketed copies)
-        counts = Counter(
-            m.group(1)
-            for m in TABLE_RE.finditer(plan)
-            if f"{sf_dir.rstrip('/')}/{m.group(1)}.parquet" in plan
-        )
+        # count only SOURCE-TABLE scans (paths under the testdata dir) —
+        # scratch files a builder wrote itself (feeds, stores, bucketed
+        # copies) never match the sf_dir-anchored pattern, even when they
+        # share a source table's basename
+        counts = Counter(m.group(1) for m in table_re.finditer(plan))
         for table, n in counts.items():
             if n >= 3:
                 flagged.append((name, table, n))

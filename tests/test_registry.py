@@ -63,7 +63,19 @@ def test_evidence_parser_rejects_unknown_sidecar_shapes(tmp_path):
     wrapped.write_text(json.dumps({"queries": {"tpch_q3": {}}, "sf": 0.01}))
     assert ev.sidecar_keys(str(wrapped)) == {"tpch_q3"}
 
-    assert ev.newest_evidence(str(tmp_path)) == {"tpch_q1": 1, "tpch_q3": 2}
+    # FLAT shape with scalar metadata entries beside the query dicts
+    # (r9 advice): "sf"/"total" must not become phantom query keys.
+    flat_meta = tmp_path / "CORRECTNESS_r04.json"
+    flat_meta.write_text(
+        json.dumps({"tpch_q5": {"rows_match": True}, "sf": 0.01, "total": 1})
+    )
+    assert ev.sidecar_keys(str(flat_meta)) == {"tpch_q5"}
+
+    assert ev.newest_evidence(str(tmp_path)) == {
+        "tpch_q1": 1,
+        "tpch_q3": 2,
+        "tpch_q5": 4,
+    }
 
     bad = tmp_path / "CORRECTNESS_r03.json"
     bad.write_text(json.dumps([{"key": "tpch_q1"}]))

@@ -173,21 +173,43 @@ def test_anomaly_mad_windows_are_bin_sized(spark):
         .optimizedPlan()
         .toString()
     )
+    import re
+
     lines = plan.splitlines()
-    win_idx = [
-        i
-        for i, l in enumerate(lines)
-        if "windowspecdefinition" in l.lower()
-        or "Window" in l.split("+-")[-1]
-    ]
-    assert win_idx, plan
-    agg_idx = [i for i, l in enumerate(lines) if "Aggregate" in l]
-    assert agg_idx, plan
-    # every window has an aggregate strictly below it (bin-sized input)
-    assert all(any(a > w for a in agg_idx) for w in win_idx), plan
+    # Anchor on the OPERATOR token, not substring matches (r9 advice: a
+    # Project line can reference windowspecdefinition expressions, and
+    # "any Aggregate below" is satisfied by unrelated branches). The tree
+    # prefix is spaces/':'/'+'/'-'; indentation width orders the tree, so
+    # a node's subtree = the consecutive following nodes with strictly
+    # greater indent.
+    nodes = []
+    for i, line in enumerate(lines):
+        m = re.match(r"^([ :+\-]*)([A-Za-z]\w*)", line)
+        if m:
+            nodes.append((i, len(m.group(1)), m.group(2)))
+    windows = [(i, d) for i, d, t in nodes if t == "Window"]
+    assert windows, plan
+    for wi, wd in windows:
+        subtree = []
+        for i, d, t in nodes:
+            if i <= wi:
+                continue
+            if d <= wd:
+                break
+            subtree.append((i, t))
+        # bin-sized input: the window's own subtree aggregates, and the
+        # bins are keyed on the integer cents domain
+        assert any(t == "Aggregate" for _, t in subtree), (
+            f"Window at line {wi} has no Aggregate in its subtree\n{plan}"
+        )
+        assert any(
+            t == "Aggregate" and "cents#" in lines[i] for i, t in subtree
+        ), f"Window at line {wi}: no cents-keyed Aggregate below\n{plan}"
     # the first-stage groupBy is keyed on cents, not raw value
     assert any(
-        "Aggregate" in l and "cents" in l for l in lines
+        t == "Aggregate"
+        and "cents#" in lines[i].split("], [")[0]
+        for i, _, t in nodes
     ), plan
 
 
