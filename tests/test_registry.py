@@ -119,3 +119,36 @@ def test_priority_head_is_rotated():
         f"_PRIORITY head re-samples keys the driver just confirmed in "
         f"{files[-1]}: {wasted} — rotate stalest-first before committing"
     )
+
+
+def test_rotate_priority_pins_precede_evidence_groups():
+    """PINNED_REWRITTEN keys (implementations changed after their newest
+    driver evidence, r9 verdict #2) must lead the generated _PRIORITY
+    block ahead of every evidence group, and must never appear twice.
+    Tests build_block directly so the guard doesn't depend on the repo's
+    current sidecar state."""
+    import importlib.util
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_priority",
+        os.path.join(repo_root, "scripts", "rotate_priority.py"),
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    evidence = {"a": 1, "b": 2, "c": 1}
+    order = ["pinned_x", "a", "c", "b"]  # stalest-first with pin up front
+    block = rot.build_block(order, evidence, pins=["pinned_x"])
+    keys = [
+        line.strip().strip('",').strip('"')
+        for line in block.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert keys == ["pinned_x", "a", "c", "b"]
+    assert keys.count("pinned_x") == 1
+    assert "# --- pinned: rewritten since newest evidence (1 keys) ---" in block
+    # group counts must exclude the pinned key even if it carried evidence
+    block2 = rot.build_block(["a", "c", "b"], evidence, pins=[])
+    assert "(2 keys)" in block2  # the r1 group: a + c
