@@ -109,7 +109,9 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(warm_sink, ignore_errors=True)
+        warmup_ok = True
     except Exception as exc:  # noqa: BLE001
+        warmup_ok = False
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -156,6 +158,12 @@ def main() -> None:
         # warm-up exists to stabilize the TOTAL across rounds). Recorded
         # here so per-query readers can discount them.
         "prewarmed": sorted(n for n in warmup if n in specs),
+        # False = the warm-up block died and the sweep ran cold: totals
+        # are NOT comparable to warm rounds (r5 finding: fresh-JVM C2
+        # cold starts alone spread identical code 163-282s). Readers
+        # should triage "regressions" in such a sweep as cold-start
+        # artifacts first.
+        "warmup_ok": warmup_ok,
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
@@ -169,6 +177,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
+        "warmup_ok": warmup_ok,
         "sf": sf_val,
     }
     if errors:
