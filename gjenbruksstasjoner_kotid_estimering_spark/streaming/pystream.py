@@ -28,6 +28,36 @@ from ..sources.pyds import (
 
 STREAM_ROWS = 2000  # 5 micro-batches of STREAM_BATCH=400
 
+DRAIN_DEADLINE = 120.0  # seconds before the watchdog stops a stuck drain
+
+
+def arm_drain_watchdog(query, deadline: float = DRAIN_DEADLINE):
+    """Arm a daemon timer that stops ``query`` after ``deadline`` seconds.
+
+    processAllAvailable() has no timeout of its own — a Python stream
+    worker that stalls WITHOUT erroring (hung reader, offsets not
+    advancing) would block the caller forever (r9 advice). The timer
+    calls ``query.stop()`` so the blocked call returns; the returned
+    event tells the caller the stop came from the watchdog, which the
+    caller must convert into a loud TimeoutError rather than reading a
+    silent partial drain. Returns ``(timer, timed_out_event)``; the
+    caller cancels the timer in its ``finally``."""
+    import threading
+
+    timed_out = threading.Event()
+
+    def _watchdog_stop() -> None:
+        timed_out.set()
+        try:
+            query.stop()
+        except Exception:
+            pass
+
+    watchdog = threading.Timer(deadline, _watchdog_stop)
+    watchdog.daemon = True
+    watchdog.start()
+    return watchdog, timed_out
+
 
 @register(
     "stream_python_datasource_true",
@@ -111,26 +141,12 @@ def stream_python_datasource_true(
         .queryName(name)
         .start()
     )
-    import threading
-
-    drain_deadline = 120.0
-    timed_out = threading.Event()
-
-    def _watchdog_stop() -> None:
-        timed_out.set()
-        try:
-            q.stop()
-        except Exception:
-            pass
-
-    watchdog = threading.Timer(drain_deadline, _watchdog_stop)
-    watchdog.daemon = True
-    watchdog.start()
+    watchdog, timed_out = arm_drain_watchdog(q)
     try:
         q.processAllAvailable()
         if timed_out.is_set():
             raise TimeoutError(
-                f"stream drain exceeded {drain_deadline}s — the source "
+                f"stream drain exceeded {DRAIN_DEADLINE}s — the source "
                 "stalled without erroring (offsets not advancing?)"
             )
         seen = (

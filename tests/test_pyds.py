@@ -139,3 +139,42 @@ def test_jsonl_sink_roundtrip_and_atomicity(spark, tmp_path):
     ]
     with open(os.path.join(out, "_SUCCESS")) as f:
         assert f.read() == "100"
+
+
+def test_drain_watchdog_stops_and_flags_a_stuck_query():
+    """arm_drain_watchdog (r9 advice): a query whose drain never returns
+    must be stop()ped at the deadline with the timed_out flag SET, so the
+    caller raises TimeoutError instead of reading a partial drain. A
+    healthy drain that finishes first cancels the timer and the flag
+    stays clear. Exercised against a fake query object — the real
+    stalled-worker scenario would hang a test suite."""
+    import threading
+    import time
+
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming.pystream import (
+        arm_drain_watchdog,
+    )
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = threading.Event()
+
+        def stop(self):
+            self.stopped.set()
+
+    # stuck drain: deadline fires, query stopped, flag set
+    q = FakeQuery()
+    watchdog, timed_out = arm_drain_watchdog(q, deadline=0.05)
+    try:
+        assert q.stopped.wait(timeout=5.0), "watchdog never stopped the query"
+        assert timed_out.is_set()
+    finally:
+        watchdog.cancel()
+
+    # healthy drain: caller cancels first, nothing fires
+    q2 = FakeQuery()
+    watchdog2, timed_out2 = arm_drain_watchdog(q2, deadline=30.0)
+    watchdog2.cancel()
+    time.sleep(0.1)
+    assert not timed_out2.is_set()
+    assert not q2.stopped.is_set()
