@@ -56,3 +56,108 @@ def test_streamed_store_intervals_tile_per_user(spark):
             # consecutive intervals always change status — SCD2 never
             # stores a no-op transition
             assert prev.status != nxt.status
+
+
+def test_fold_is_slicing_invariant_on_random_streams(spark):
+    """Property (hypothesis): folding ANY chronological slicing of an
+    event stream — including the degenerate 1-slice and the
+    max-slices-per-distinct-ts cuts — produces the same SCD2 store as
+    the single-pass reference reconstruction. This is the load-bearing
+    claim behind the approxQuantile slicer: boundaries are approximate
+    and skew-arbitrary, so the fold must be history-slicing-invariant as
+    long as equal-ts rows never split (slices cut BETWEEN distinct ts
+    values, the lo < ts <= hi contract)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gjenbruksstasjoner_kotid_estimering_spark.streaming.scd2_stream import (
+        _scd2_fold,
+    )
+
+    base = datetime.datetime(2020, 5, 6, 9, 0, 0)
+
+    @st.composite
+    def stream_and_cuts(draw):
+        n_events = draw(st.integers(min_value=1, max_value=10))
+        events = []
+        for eid in range(n_events):
+            events.append(
+                (
+                    draw(st.integers(min_value=0, max_value=2)),  # user
+                    base
+                    + datetime.timedelta(
+                        seconds=draw(st.integers(min_value=0, max_value=5))
+                    ),
+                    eid,
+                    draw(st.sampled_from(["open", "closed"])),
+                )
+            )
+        distinct_ts = sorted({e[1] for e in events})
+        # cut AFTER any subset of distinct ts values (equal-ts rows
+        # therefore never split across a boundary)
+        cuts = [
+            t
+            for t in distinct_ts[:-1]
+            if draw(st.booleans())
+        ]
+        return events, cuts
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(stream_and_cuts())
+    def check(sc):
+        events, cuts = sc
+        bounds = cuts + [max(e[1] for e in events)]
+        slices, lo = [], None
+        for hi in bounds:
+            sl = [
+                e
+                for e in events
+                if (lo is None or e[1] > lo) and e[1] <= hi
+            ]
+            if sl:
+                slices.append(sl)
+            lo = hi
+        store_dir = tempfile.mkdtemp(prefix="scd2_prop_")
+        try:
+            fold = _scd2_fold(store_dir)
+            for bid, sl in enumerate(slices):
+                fold(
+                    spark.createDataFrame(
+                        sl,
+                        "user_id long, ts timestamp, event_id long, "
+                        "event_type string",
+                    ),
+                    bid,
+                )
+            got = {
+                (r.user_id, r.valid_from): (r.status, r.valid_to)
+                for r in spark.read.parquet(store_dir).collect()
+            }
+        finally:
+            shutil.rmtree(store_dir, ignore_errors=True)
+        by_user: dict[int, list] = {}
+        for u, ts, eid, et in events:
+            by_user.setdefault(u, []).append((ts, eid, et))
+        want = {}
+        for uid, rs in by_user.items():
+            rs.sort()
+            changes = [
+                r
+                for i, r in enumerate(rs)
+                if i == 0 or r[2] != rs[i - 1][2]
+            ]
+            for i, c in enumerate(changes):
+                nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+                want[(uid, c[0])] = (c[2], nxt)
+        assert got == want
+
+    check()
