@@ -52,6 +52,16 @@ def main() -> None:
         "tpch_q10",
         "text_token_counts",
     )
+    # These aren't run as warmup queries, but the graft_series read /
+    # graft_jsonl write below pays their one-time Python DataSource
+    # planner+worker setup, so their timed entries carry the same
+    # advantage as the explicitly warmed set — record them in
+    # "prewarmed" so per-query readers discount them too.
+    pyds_warmed = (
+        "scan_python_datasource",
+        "sink_python_datasource",
+        "stream_python_datasource_true",
+    )
     try:
         load_table(spark, sf_dir, "region").count()
         for name in warmup:
@@ -157,7 +167,9 @@ def main() -> None:
         # cross-query comparisons against them are skewed by design (the
         # warm-up exists to stabilize the TOTAL across rounds). Recorded
         # here so per-query readers can discount them.
-        "prewarmed": sorted(n for n in warmup if n in specs),
+        "prewarmed": sorted(
+            n for n in warmup + pyds_warmed if n in specs
+        ),
         # False = the warm-up block died and the sweep ran cold: totals
         # are NOT comparable to warm rounds (r5 finding: fresh-JVM C2
         # cold starts alone spread identical code 163-282s). Readers

@@ -48,8 +48,19 @@ def sidecar_keys(path: str) -> set[str]:
     # per-query dicts (e.g. {"tpch_q1": {...}, "sf": 0.01}); only dict
     # values are query records — letting scalars through would rotate the
     # priority head around phantom keys (r9 advice: the duck-typing gap
-    # existed for the flat shape, not just the wrapped one).
-    return {k for k, v in data.items() if isinstance(v, dict)}
+    # existed for the flat shape, not just the wrapped one). But a
+    # non-empty sidecar with ZERO dict values is a driver format change
+    # (e.g. per-key scalar verdicts), and silently returning no keys
+    # would both starve newest_evidence and let the rotation tripwire
+    # pass vacuously — that must stay a loud failure.
+    keys = {k for k, v in data.items() if isinstance(v, dict)}
+    if data and not keys:
+        raise ValueError(
+            f"{path}: no dict-valued query records found — every entry is "
+            "scalar metadata, which means the driver's sidecar format "
+            "changed; update evidence.sidecar_keys for the new shape"
+        )
+    return keys
 
 
 def sidecar_files(repo_root: str) -> list[str]:

@@ -144,17 +144,23 @@ def stream_python_datasource_true(
     watchdog, timed_out = arm_drain_watchdog(q)
     try:
         q.processAllAvailable()
-        if timed_out.is_set():
-            raise TimeoutError(
-                f"stream drain exceeded {DRAIN_DEADLINE}s — the source "
-                "stalled without erroring (offsets not advancing?)"
-            )
         seen = (
             spark.table(name)
             .agg(F.coalesce(F.sum("n"), F.lit(0)))
             .collect()[0][0]
         )
         if seen != STREAM_ROWS:
+            # The flag alone isn't proof of a stall: a drain finishing at
+            # ~the deadline can see the timer fire between
+            # processAllAvailable() returning and this check. Only an
+            # INCOMPLETE drain is an error — timed-out incomplete is the
+            # watchdog's stall, complete is a healthy (if slow) drain.
+            if timed_out.is_set():
+                raise TimeoutError(
+                    f"stream drain exceeded {DRAIN_DEADLINE}s with "
+                    f"{seen}/{STREAM_ROWS} rows — the source stalled "
+                    "without erroring (offsets not advancing?)"
+                )
             raise RuntimeError(
                 f"stream drained {seen}/{STREAM_ROWS} rows — the source "
                 "reported caught-up before the known end offset"

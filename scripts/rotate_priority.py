@@ -28,17 +28,21 @@ import os
 import re
 import sys
 
-# Keys whose Spark plan was REWRITTEN after their newest driver evidence
-# round — the driver has never value-hashed the current implementation, so
-# they jump the stalest-first queue (r9 verdict #2). Maintain per round:
-# add a key here when its implementation changes, remove it once the next
-# CORRECTNESS_r*.json hash-confirms it (the evidence union then outranks
-# the pin anyway). Pinned keys must NOT appear in the newest sidecar's
-# sample or the tripwire test fires.
-PINNED_REWRITTEN: tuple[str, ...] = (
-    "events_anomaly_mad",  # cents-binned rewrite r9; newest evidence r4
-    "text_segment_dedup",  # skew rewrite r8; newest evidence r4
-    "text_pmi_positive_pairs",  # materialize-once r9; newest evidence r8
+# Keys whose Spark plan was REWRITTEN after their newest driver evidence —
+# the driver has never value-hashed the current implementation, so they
+# jump the stalest-first queue (r9 verdict #2). Each entry is
+# (key, rewrite_round): the build-session round in which the plan changed.
+# A pin expires once the key carries evidence >= its OWN rewrite round
+# (the driver hashed the rewritten plan) — comparing against the global
+# newest round instead would wrongly drop a key that was sampled in the
+# newest round and rewritten right after. Add an entry when rewriting an
+# implemented key; the script warns when an entry is expired and safe to
+# delete. Active pins must NOT appear in the newest sidecar's sample or
+# the tripwire test fires.
+PINNED_REWRITTEN: tuple[tuple[str, int], ...] = (
+    ("events_anomaly_mad", 9),  # cents-binned rewrite r9; evidence r4
+    ("text_segment_dedup", 8),  # skew rewrite r8; evidence r4
+    ("text_pmi_positive_pairs", 9),  # materialize-once r9; evidence r6
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -98,19 +102,15 @@ def main() -> int:
     names = list(registry.all_specs())
     evidence = newest_evidence(REPO)
     order = sorted(names, key=lambda k: (evidence.get(k, 0), k))
-    pins = [k for k in PINNED_REWRITTEN if k in names]
-    dropped = [
-        k
-        for k in pins
-        if evidence.get(k, 0) >= max(evidence.values(), default=0)
-    ]
+    pinned = [(k, r) for k, r in PINNED_REWRITTEN if k in names]
+    dropped = [k for k, r in pinned if evidence.get(k, 0) >= r]
     if dropped:
         print(
-            "rotate_priority: WARNING pinned keys already have newest-round "
-            f"evidence (remove from PINNED_REWRITTEN): {dropped}",
+            "rotate_priority: WARNING pins confirmed since their rewrite "
+            f"round (delete from PINNED_REWRITTEN): {dropped}",
             file=sys.stderr,
         )
-    pins = [k for k in pins if k not in dropped]
+    pins = [k for k, _ in pinned if k not in dropped]
     order = pins + [k for k in order if k not in pins]
     block = build_block(order, evidence, pins)
 

@@ -83,6 +83,16 @@ def test_evidence_parser_rejects_unknown_sidecar_shapes(tmp_path):
         ev.sidecar_keys(str(bad))
     with pytest.raises(ValueError, match="CORRECTNESS_r03"):
         ev.newest_evidence(str(tmp_path))
+    bad.unlink()
+
+    # an ALL-scalar flat sidecar is a driver format change (per-key
+    # scalar verdicts), not metadata — silently returning zero keys
+    # would starve newest_evidence and let the rotation tripwire pass
+    # vacuously, so it must raise (round-10 review finding)
+    scalars = tmp_path / "CORRECTNESS_r05.json"
+    scalars.write_text(json.dumps({"tpch_q1": True, "tpch_q2": False}))
+    with pytest.raises(ValueError, match="format"):
+        ev.sidecar_keys(str(scalars))
 
 
 def test_priority_head_is_rotated():
@@ -149,6 +159,8 @@ def test_rotate_priority_pins_precede_evidence_groups():
     assert keys == ["pinned_x", "a", "c", "b"]
     assert keys.count("pinned_x") == 1
     assert "# --- pinned: rewritten since newest evidence (1 keys) ---" in block
-    # group counts must exclude the pinned key even if it carried evidence
-    block2 = rot.build_block(["a", "c", "b"], evidence, pins=[])
-    assert "(2 keys)" in block2  # the r1 group: a + c
+    # group counts must exclude the pinned key even if it carried
+    # evidence: with "a" (r1) pinned, the r1 group holds only "c"
+    block2 = rot.build_block(["a", "c", "b"], evidence, pins=["a"])
+    assert "# --- newest driver evidence r1 (1 keys) ---" in block2
+    assert "# --- newest driver evidence r2 (1 keys) ---" in block2

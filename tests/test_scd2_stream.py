@@ -138,16 +138,33 @@ def test_fold_is_slicing_invariant_on_random_streams(spark):
                     ),
                     bid,
                 )
-            got = {
-                (r.user_id, r.valid_from): (r.status, r.valid_to)
-                for r in spark.read.parquet(store_dir).collect()
-            }
+            # multiset compare, NOT a dict keyed by (user, valid_from):
+            # equal-ts change points within a user produce several
+            # legitimate intervals sharing valid_from (zero-length ones
+            # included), and a dict would silently collapse them to a
+            # collect-order-dependent survivor
+            # None valid_to is not orderable against datetimes, so both
+            # sides sort with the same None-last key
+            row_key = lambda t: (  # noqa: E731
+                t[0],
+                t[1],
+                t[2],
+                t[3] is None,
+                t[3] or t[1],
+            )
+            got = sorted(
+                (
+                    (r.user_id, r.valid_from, r.status, r.valid_to)
+                    for r in spark.read.parquet(store_dir).collect()
+                ),
+                key=row_key,
+            )
         finally:
             shutil.rmtree(store_dir, ignore_errors=True)
         by_user: dict[int, list] = {}
         for u, ts, eid, et in events:
             by_user.setdefault(u, []).append((ts, eid, et))
-        want = {}
+        want = []
         for uid, rs in by_user.items():
             rs.sort()
             changes = [
@@ -157,7 +174,7 @@ def test_fold_is_slicing_invariant_on_random_streams(spark):
             ]
             for i, c in enumerate(changes):
                 nxt = changes[i + 1][0] if i + 1 < len(changes) else None
-                want[(uid, c[0])] = (c[2], nxt)
-        assert got == want
+                want.append((uid, c[0], c[2], nxt))
+        assert got == sorted(want, key=row_key)
 
     check()
