@@ -32,18 +32,18 @@ import sys
 # the driver has never value-hashed the current implementation, so they
 # jump the stalest-first queue (r9 verdict #2). Each entry is
 # (key, rewrite_round): the build-session round in which the plan changed.
-# A pin expires once the key carries evidence >= its OWN rewrite round
-# (the driver hashed the rewritten plan) — comparing against the global
-# newest round instead would wrongly drop a key that was sampled in the
-# newest round and rewritten right after. Add an entry when rewriting an
-# implemented key; the script warns when an entry is expired and safe to
-# delete. Active pins must NOT appear in the newest sidecar's sample or
-# the tripwire test fires.
-PINNED_REWRITTEN: tuple[tuple[str, int], ...] = (
-    ("events_anomaly_mad", 9),  # cents-binned rewrite r9; evidence r4
-    ("text_segment_dedup", 8),  # skew rewrite r8; evidence r4
-    ("text_pmi_positive_pairs", 9),  # materialize-once r9; evidence r6
-)
+# A round-R rewrite happens AFTER round R's driver sweep (rewrites respond
+# to round-R verdicts), so round-R evidence hashed the PRE-rewrite plan —
+# a pin therefore expires only once the key carries evidence STRICTLY
+# GREATER than its own rewrite round (r10 advice: `>=` would wrongly
+# expire a key that was sampled in round R and rewritten right after).
+# Add an entry when rewriting an implemented key; the script warns when
+# an entry is expired and safe to delete. Active pins must NOT appear in
+# the newest sidecar's sample or the tripwire test fires.
+# (r10: the three r8/r9-rewrite pins were driver-hashed green in r10 and
+# deleted per the r10 verdict #2 — the tuple is empty until the next
+# post-evidence rewrite.)
+PINNED_REWRITTEN: tuple[tuple[str, int], ...] = ()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY_PY = os.path.join(
@@ -103,7 +103,7 @@ def main() -> int:
     evidence = newest_evidence(REPO)
     order = sorted(names, key=lambda k: (evidence.get(k, 0), k))
     pinned = [(k, r) for k, r in PINNED_REWRITTEN if k in names]
-    dropped = [k for k, r in pinned if evidence.get(k, 0) >= r]
+    dropped = [k for k, r in pinned if evidence.get(k, 0) > r]
     if dropped:
         print(
             "rotate_priority: WARNING pins confirmed since their rewrite "
