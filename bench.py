@@ -57,10 +57,15 @@ def main() -> None:
     # planner+worker setup, so their timed entries carry the same
     # advantage as the explicitly warmed set — record them in
     # "prewarmed" so per-query readers discount them too.
+    # stream_python_datasource_true is deliberately NOT listed: its
+    # readStream source/worker path is distinct from the batch lane, and
+    # an isolated fresh-JVM A/B (r11, scripts/ab_isolated.py: with-warm
+    # 5.68/5.35s vs no-warm 7.14/3.06s) showed no prewarming effect
+    # above run-to-run variance, so labeling it prewarmed would
+    # over-discount its timed entry (r10 advice).
     pyds_warmed = (
         "scan_python_datasource",
         "sink_python_datasource",
-        "stream_python_datasource_true",
     )
     try:
         load_table(spark, sf_dir, "region").count()
@@ -123,6 +128,40 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         warmup_ok = False
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
+    # Per-row streaming drain stats (r10 verdict #4): when a stream_* row
+    # regresses only inside a driver sweep, the first triage question is
+    # "did it run more micro-batches, or the same batches slower?" — make
+    # that answerable from the artifact alone. One session-level listener
+    # counts query starts / progress events; each timed row records the
+    # delta. Listener delivery is ASYNC, so a tail event can bleed into
+    # the next row's delta — the counts are diagnostic, not exact.
+    stream_stats: dict[str, dict[str, int]] = {}
+    try:
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        class _DrainCounter(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.starts = 0
+                self.batches = 0
+
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                self.starts += 1
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                self.batches += 1
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        counter = _DrainCounter()
+        spark.streams.addListener(counter)
+    except Exception as exc:  # noqa: BLE001 — stats are optional
+        counter = None
+        print(f"bench: stream listener unavailable: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(specs):
@@ -136,10 +175,17 @@ def main() -> None:
         # and the driver got NO bench artifact — rc 1, parsed null).
         # Record the error, keep sweeping, always exit 0 with the JSON line.
         t0 = time.perf_counter()
+        starts0 = counter.starts if counter else 0
+        batches0 = counter.batches if counter else 0
         try:
             df = specs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            if counter and counter.starts > starts0:
+                stream_stats[name] = {
+                    "queries": counter.starts - starts0,
+                    "microbatches": counter.batches - batches0,
+                }
         except Exception as exc:  # noqa: BLE001 — sweep must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -176,6 +222,12 @@ def main() -> None:
         # should triage "regressions" in such a sweep as cold-start
         # artifacts first.
         "warmup_ok": warmup_ok,
+        # Per-row streaming drain stats (async listener deltas — see the
+        # _DrainCounter note above): {"queries": started, "microbatches":
+        # progress events} for every timed row that started a streaming
+        # query. A sweep-time blip with UNCHANGED counts points at the
+        # host/environment; a count change points at the drain itself.
+        "stream_stats": stream_stats,
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
