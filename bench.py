@@ -51,6 +51,14 @@ def main() -> None:
         "tpch_q1",
         "tpch_q10",
         "text_token_counts",
+        # The session's FIRST streaming query pays ~2s of one-time
+        # streaming infra (MicroBatchExecution/state-store/JIT) that the
+        # batch warmup doesn't touch — measured r11 via
+        # scripts/ab_isolated.py (stream_tumbling_window_true 3.91s
+        # first run → 1.78-1.89s steady in the same JVM). In the
+        # alphabetical sweep that cost landed on whichever stream_* row
+        # ran first; pay it here untimed instead.
+        "stream_tumbling_window_true",
     )
     # These aren't run as warmup queries, but the graft_series read /
     # graft_jsonl write below pays their one-time Python DataSource
