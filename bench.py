@@ -26,8 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gjenbruksstasjoner_kotid_estimering_spark import registry
-from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark import benchwarm, registry
 from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
 
@@ -38,100 +37,13 @@ def main() -> None:
 
     # Fixed warm-up convention (round-5 VERDICT: identical-code sweep
     # totals varied 163-282s on fresh JVMs — C2-compiler cold starts, not
-    # plan changes). One trivial action pays session startup, then a
-    # FIXED set of representative plan shapes (scan+agg, hash join, sort/
-    # window, broadcast top-k, mapInPandas) runs untimed so whole-stage-
-    # codegen classes and the hot JIT paths exist before the first timed
-    # query. Keeps sidecar totals comparable across rounds.
+    # plan changes). The set itself lives in benchwarm.py, SHARED with the
+    # isolated-warm triage harness (scripts/ab_isolated.py) so sweep rows
+    # and isolated re-times stay comparable (r11 review: the two warmups
+    # drifted apart when duplicated).
     specs = registry.all_specs()
-    warmup = (
-        "agg_basic",
-        "join_inner",
-        "window_rank",
-        "tpch_q1",
-        "tpch_q10",
-        "text_token_counts",
-        # The session's FIRST streaming query pays ~2s of one-time
-        # streaming infra (MicroBatchExecution/state-store/JIT) that the
-        # batch warmup doesn't touch — measured r11 via
-        # scripts/ab_isolated.py (stream_tumbling_window_true 3.91s
-        # first run → 1.78-1.89s steady in the same JVM). In the
-        # alphabetical sweep that cost landed on whichever stream_* row
-        # ran first; pay it here untimed instead.
-        "stream_tumbling_window_true",
-    )
-    # These aren't run as warmup queries, but the graft_series read /
-    # graft_jsonl write below pays their one-time Python DataSource
-    # planner+worker setup, so their timed entries carry the same
-    # advantage as the explicitly warmed set — record them in
-    # "prewarmed" so per-query readers discount them too.
-    # stream_python_datasource_true is deliberately NOT listed: its
-    # readStream source/worker path is distinct from the batch lane, and
-    # an isolated fresh-JVM A/B (r11, scripts/ab_isolated.py: with-warm
-    # 5.68/5.35s vs no-warm 7.14/3.06s) showed no prewarming effect
-    # above run-to-run variance, so labeling it prewarmed would
-    # over-discount its timed entry (r10 advice).
-    pyds_warmed = (
-        "scan_python_datasource",
-        "sink_python_datasource",
-    )
     try:
-        load_table(spark, sf_dir, "region").count()
-        for name in warmup:
-            if name in specs:
-                specs[name].builder(spark, sf_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-        # Python DataSource plan class (r9): the session's FIRST
-        # DataSource query pays one-time Python-planner/worker infra
-        # (measured 4-8s) that belongs to session setup, not the query —
-        # the same rationale as the JIT warm-up above. A 64-row
-        # graft_series read moves it out of the timed region.
-        from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
-            register_graft_series,
-        )
-
-        register_graft_series(spark)
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        (
-            spark.read.format("graft_series")
-            .option("rows", 64)
-            .option("partitions", 2)
-            .load()
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        # Python DataSource SINK twin (r9 verdict #4): the write side pays
-        # its own one-time worker/plan setup that the scan warmup doesn't
-        # touch (sink_python_datasource was the slowest sweep row at
-        # 5.99s driver / ~0.9s isolated-warm). A 64-row graft_jsonl write
-        # to a throwaway scratch dir moves that setup out of the timed
-        # region too.
-        import shutil
-
-        from gjenbruksstasjoner_kotid_estimering_spark.scratch import (
-            new_scratch_dir,
-        )
-        from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
-            register_graft_jsonl,
-        )
-
-        register_graft_jsonl(spark)
-        warm_sink = new_scratch_dir("bench_warm_sink")
-        try:
-            (
-                spark.read.format("graft_series")
-                .option("rows", 64)
-                .option("partitions", 2)
-                .load()
-                .write.format("graft_jsonl")
-                .option("path", warm_sink)
-                .mode("append")
-                .save()
-            )
-        finally:
-            shutil.rmtree(warm_sink, ignore_errors=True)
+        benchwarm.run_warmup(spark, sf_dir)
         warmup_ok = True
     except Exception as exc:  # noqa: BLE001
         warmup_ok = False
@@ -141,9 +53,32 @@ def main() -> None:
     # "did it run more micro-batches, or the same batches slower?" — make
     # that answerable from the artifact alone. One session-level listener
     # counts query starts / progress events; each timed row records the
-    # delta. Listener delivery is ASYNC, so a tail event can bleed into
-    # the next row's delta — the counts are diagnostic, not exact.
+    # delta. Listener delivery is ASYNC: after each row that moved the
+    # counters (or any stream_* row, whose start event may still be in
+    # flight), _settle polls untimed until the counts hold still for two
+    # consecutive 50ms ticks (1s cap) before the delta is read — without
+    # it a tail event bleeds into the NEXT row's delta and a batch row
+    # can be recorded as having run a stream (r11 review). Rows that end
+    # with events still undelivered past the cap remain approximate —
+    # the counts are diagnostic, not exact.
     stream_stats: dict[str, dict[str, int]] = {}
+
+    def _settle(counter, starts0: int, batches0: int, is_stream: bool) -> None:
+        if counter is None:
+            return
+        if not is_stream and (counter.starts, counter.batches) == (
+            starts0,
+            batches0,
+        ):
+            return  # nothing in flight and nothing expected — no sleep
+        deadline = time.perf_counter() + 1.0
+        prev = (counter.starts, counter.batches)
+        still = 0
+        while time.perf_counter() < deadline and still < 2:
+            time.sleep(0.05)
+            cur = (counter.starts, counter.batches)
+            still = still + 1 if cur == prev else 0
+            prev = cur
     try:
         from pyspark.sql.streaming.listener import StreamingQueryListener
 
@@ -189,6 +124,9 @@ def main() -> None:
             df = specs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # settle OUTSIDE the timed region: the drain already finished;
+            # this only waits for the listener bus to catch up.
+            _settle(counter, starts0, batches0, name.startswith("stream_"))
             if counter and counter.starts > starts0:
                 stream_stats[name] = {
                     "queries": counter.starts - starts0,
@@ -222,7 +160,9 @@ def main() -> None:
         # warm-up exists to stabilize the TOTAL across rounds). Recorded
         # here so per-query readers can discount them.
         "prewarmed": sorted(
-            n for n in warmup + pyds_warmed if n in specs
+            n
+            for n in benchwarm.WARMUP + benchwarm.PYDS_WARMED
+            if n in specs
         ),
         # False = the warm-up block died and the sweep ran cold: totals
         # are NOT comparable to warm rounds (r5 finding: fresh-JVM C2

@@ -1,0 +1,95 @@
+"""The fixed bench warm-up, shared by bench.py and scripts/ab_isolated.py.
+
+Sweep totals are only comparable warm (round-5 finding: fresh-JVM C2
+cold starts spread identical code 163-282s), so bench.py runs this FIXED
+set untimed before its sweep — and the isolated-warm triage harness
+(scripts/ab_isolated.py) must run the *same* set or its per-query times
+aren't comparable to the sweep's (round-11 review finding: the two
+warmups drifted apart within one PR). One implementation, two callers.
+
+The set covers the hot plan shapes (scan+agg, hash join, sort/window,
+broadcast top-k, mapInPandas), the Python DataSource read AND write
+lanes (each pays its own one-time planner/worker setup — r9/r10), and
+one true-streaming drain (the session's first streaming query pays ~2s
+of one-time MicroBatchExecution/state-store infra the batch warmup
+doesn't touch — measured r11 via scripts/ab_isolated.py:
+stream_tumbling_window_true 3.91s first run → 1.78-1.89s steady).
+"""
+
+from __future__ import annotations
+
+# Registry rows run untimed before the sweep. Their timed sweep entries
+# carry a JIT/cache advantage by design — bench.py records them under
+# "prewarmed" so per-query readers discount them.
+WARMUP: tuple[str, ...] = (
+    "agg_basic",
+    "join_inner",
+    "window_rank",
+    "tpch_q1",
+    "tpch_q10",
+    "text_token_counts",
+    "stream_tumbling_window_true",
+)
+
+# Rows whose one-time Python DataSource planner/worker setup is paid by
+# the graft_series read / graft_jsonl write below — also "prewarmed".
+# stream_python_datasource_true is deliberately NOT listed: its
+# readStream source/worker path is distinct from the batch lane, and an
+# isolated fresh-JVM A/B (r11, scripts/ab_isolated.py: with-warm
+# 5.68/5.35s vs no-warm 7.14/3.06s) showed no prewarming effect above
+# run-to-run variance, so labeling it prewarmed would over-discount its
+# timed entry (r10 advice).
+PYDS_WARMED: tuple[str, ...] = (
+    "scan_python_datasource",
+    "sink_python_datasource",
+)
+
+
+def run_warmup(spark, sf_dir: str, pyds: bool = True) -> None:
+    """Run the fixed warm-up set untimed. ``pyds=False`` skips the Python
+    DataSource read/write warm (the A/B arm for prewarm attribution)."""
+    from gjenbruksstasjoner_kotid_estimering_spark import registry
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+    specs = registry.all_specs()
+    # One trivial action pays session startup before the warmup queries.
+    load_table(spark, sf_dir, "region").count()
+    for name in WARMUP:
+        if name in specs:
+            specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    if not pyds:
+        return
+
+    # Python DataSource plan class (r9): the session's FIRST DataSource
+    # query pays one-time Python-planner/worker infra (measured 4-8s)
+    # that belongs to session setup, not the query. A 64-row
+    # graft_series read moves it out of the timed region; the write side
+    # pays its OWN one-time setup (r9 verdict #4), so a 64-row
+    # graft_jsonl write to a throwaway scratch dir follows.
+    import shutil
+
+    from gjenbruksstasjoner_kotid_estimering_spark.scratch import new_scratch_dir
+    from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
+        register_graft_jsonl,
+        register_graft_series,
+    )
+
+    register_graft_series(spark)
+    register_graft_jsonl(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    series = (
+        spark.read.format("graft_series")
+        .option("rows", 64)
+        .option("partitions", 2)
+        .load()
+    )
+    series.write.format("noop").mode("overwrite").save()
+    warm_sink = new_scratch_dir("bench_warm_sink")
+    try:
+        series.write.format("graft_jsonl").option("path", warm_sink).mode(
+            "append"
+        ).save()
+    finally:
+        shutil.rmtree(warm_sink, ignore_errors=True)

@@ -30,55 +30,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from gjenbruksstasjoner_kotid_estimering_spark import registry
-from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+from gjenbruksstasjoner_kotid_estimering_spark import benchwarm, registry
 from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
-WARMUP = (
-    "agg_basic",
-    "join_inner",
-    "window_rank",
-    "tpch_q1",
-    "tpch_q10",
-    "text_token_counts",
-)
-
-
-def run_warmup(spark, sf_dir: str, pyds: bool) -> None:
-    """The same fixed warm-up set bench.py runs untimed before its sweep."""
-    specs = registry.all_specs()
-    load_table(spark, sf_dir, "region").count()
-    for name in WARMUP:
-        specs[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    if not pyds:
-        return
-    import shutil
-
-    from gjenbruksstasjoner_kotid_estimering_spark.scratch import new_scratch_dir
-    from gjenbruksstasjoner_kotid_estimering_spark.sources.pyds import (
-        register_graft_jsonl,
-        register_graft_series,
-    )
-
-    register_graft_series(spark)
-    register_graft_jsonl(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    series = (
-        spark.read.format("graft_series")
-        .option("rows", 64)
-        .option("partitions", 2)
-        .load()
-    )
-    series.write.format("noop").mode("overwrite").save()
-    warm_sink = new_scratch_dir("ab_warm_sink")
-    try:
-        series.write.format("graft_jsonl").option("path", warm_sink).mode(
-            "append"
-        ).save()
-    finally:
-        shutil.rmtree(warm_sink, ignore_errors=True)
+USAGE = "usage: ab_isolated.py [--no-pyds-warm] [--repeat N] query ..."
 
 
 def main() -> int:
@@ -87,25 +42,34 @@ def main() -> int:
     repeat = 1
     names: list[str] = []
     it = iter(args)
-    for a in it:
-        if a == "--no-pyds-warm":
-            pyds = False
-        elif a == "--repeat":
-            repeat = int(next(it))
-        else:
-            names.append(a)
+    try:
+        for a in it:
+            if a == "--no-pyds-warm":
+                pyds = False
+            elif a == "--repeat":
+                repeat = int(next(it))
+            else:
+                names.append(a)
+    except (StopIteration, ValueError):
+        print(USAGE, file=sys.stderr)
+        return 2
     if not names:
-        print("usage: ab_isolated.py [--no-pyds-warm] [--repeat N] query ...")
+        print(USAGE, file=sys.stderr)
         return 2
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("ab_isolated")
+    # Validate names BEFORE paying JVM startup — all_specs() needs no session.
     specs = registry.all_specs()
     missing = [n for n in names if n not in specs]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
         return 2
-    run_warmup(spark, sf_dir, pyds)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("ab_isolated")
+    # The SAME fixed warm-up bench.py runs (shared module — the two sets
+    # drifted apart when duplicated, r11 review): isolated times are only
+    # comparable to sweep rows if the warm state matches.
+    benchwarm.run_warmup(spark, sf_dir, pyds=pyds)
 
     timings: dict[str, list[float]] = {}
     for name in names:

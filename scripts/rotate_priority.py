@@ -38,8 +38,9 @@ import sys
 # GREATER than its own rewrite round (r10 advice: `>=` would wrongly
 # expire a key that was sampled in round R and rewritten right after).
 # Add an entry when rewriting an implemented key; the script warns when
-# an entry is expired and safe to delete. Active pins must NOT appear in
-# the newest sidecar's sample or the tripwire test fires.
+# an entry is expired and safe to delete. Active pins are EXEMPT from
+# test_priority_head_is_rotated's no-resample assertion (a key sampled
+# and then rewritten in the same round SHOULD be re-sampled).
 # (r10: the three r8/r9-rewrite pins were driver-hashed green in r10 and
 # deleted per the r10 verdict #2 — the tuple is empty until the next
 # post-evidence rewrite.)
@@ -49,6 +50,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY_PY = os.path.join(
     REPO, "gjenbruksstasjoner_kotid_estimering_spark", "registry.py"
 )
+
+
+def active_pin_keys(
+    pinned: tuple[tuple[str, int], ...], evidence: dict[str, int]
+) -> list[str]:
+    """Pins still awaiting a post-rewrite driver hash. A round-R rewrite
+    lands AFTER round R's sweep, so evidence == R still hashed the old
+    plan — only evidence STRICTLY greater than the rewrite round expires
+    a pin (r10 advice). Shared with test_registry's tripwire exemption."""
+    return [k for k, r in pinned if not evidence.get(k, 0) > r]
 
 
 def build_block(
@@ -102,15 +113,15 @@ def main() -> int:
     names = list(registry.all_specs())
     evidence = newest_evidence(REPO)
     order = sorted(names, key=lambda k: (evidence.get(k, 0), k))
-    pinned = [(k, r) for k, r in PINNED_REWRITTEN if k in names]
-    dropped = [k for k, r in pinned if evidence.get(k, 0) > r]
+    pinned = tuple((k, r) for k, r in PINNED_REWRITTEN if k in names)
+    pins = active_pin_keys(pinned, evidence)
+    dropped = [k for k, _ in pinned if k not in pins]
     if dropped:
         print(
             "rotate_priority: WARNING pins confirmed since their rewrite "
             f"round (delete from PINNED_REWRITTEN): {dropped}",
             file=sys.stderr,
         )
-    pins = [k for k, _ in pinned if k not in dropped]
     order = pins + [k for k in order if k not in pins]
     block = build_block(order, evidence, pins)
 

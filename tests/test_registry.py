@@ -123,12 +123,55 @@ def test_priority_head_is_rotated():
     staler_exist = any(evidence.get(k, 0) < newest_round for k in all_keys)
     if not staler_exist:
         return  # everything equally fresh — no rotation needed
+    # ACTIVE PINNED_REWRITTEN keys are exempt: a key sampled in the newest
+    # round and rewritten in that same round carries evidence == its
+    # rewrite round, so the strict pin expiry (evidence > rewrite_round,
+    # r10 advice) correctly keeps it pinned at the head — the driver
+    # hashed the PRE-rewrite plan, so re-sampling it is the point, not
+    # waste (r11 review: without this exemption the tripwire and the pin
+    # contract deadlock).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_priority",
+        os.path.join(repo_root, "scripts", "rotate_priority.py"),
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+    active_pins = set(rot.active_pin_keys(rot.PINNED_REWRITTEN, evidence))
     head = [k for k in registry._PRIORITY[:50] if k in evidence or k in all_keys]
-    wasted = [k for k in head if k in newest_keys]
+    wasted = [k for k in head if k in newest_keys and k not in active_pins]
     assert not wasted, (
         f"_PRIORITY head re-samples keys the driver just confirmed in "
         f"{files[-1]}: {wasted} — rotate stalest-first before committing"
     )
+
+
+def test_active_pin_expiry_is_strict():
+    """A pin expires only on evidence STRICTLY newer than its rewrite
+    round (r10 advice): a round-R rewrite lands after round R's sweep, so
+    round-R evidence hashed the PRE-rewrite plan. The same predicate
+    drives the tripwire's head exemption, so a key sampled in the newest
+    round and rewritten in that round stays pinned at the head without
+    deadlocking the tripwire (r11 review)."""
+    import importlib.util
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_priority",
+        os.path.join(repo_root, "scripts", "rotate_priority.py"),
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    pinned = (("sampled_then_rewritten", 11), ("hashed_post_rewrite", 9))
+    evidence = {"sampled_then_rewritten": 11, "hashed_post_rewrite": 10}
+    # evidence == rewrite round → still active (pre-rewrite hash);
+    # evidence > rewrite round → expired (driver hashed the new plan).
+    assert rot.active_pin_keys(pinned, evidence) == ["sampled_then_rewritten"]
+    # never-sampled pinned key is active too
+    assert rot.active_pin_keys((("never_sampled", 3),), {}) == ["never_sampled"]
 
 
 def test_rotate_priority_pins_precede_evidence_groups():
