@@ -62,23 +62,6 @@ def main() -> None:
     # with events still undelivered past the cap remain approximate —
     # the counts are diagnostic, not exact.
     stream_stats: dict[str, dict[str, int]] = {}
-
-    def _settle(counter, starts0: int, batches0: int, is_stream: bool) -> None:
-        if counter is None:
-            return
-        if not is_stream and (counter.starts, counter.batches) == (
-            starts0,
-            batches0,
-        ):
-            return  # nothing in flight and nothing expected — no sleep
-        deadline = time.perf_counter() + 1.0
-        prev = (counter.starts, counter.batches)
-        still = 0
-        while time.perf_counter() < deadline and still < 2:
-            time.sleep(0.05)
-            cur = (counter.starts, counter.batches)
-            still = still + 1 if cur == prev else 0
-            prev = cur
     try:
         from pyspark.sql.streaming.listener import StreamingQueryListener
 
@@ -126,7 +109,12 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
             # settle OUTSIDE the timed region: the drain already finished;
             # this only waits for the listener bus to catch up.
-            _settle(counter, starts0, batches0, name.startswith("stream_"))
+            if counter:
+                benchwarm.settle(
+                    lambda: (counter.starts, counter.batches),
+                    (starts0, batches0),
+                    name.startswith("stream_"),
+                )
             if counter and counter.starts > starts0:
                 stream_stats[name] = {
                     "queries": counter.starts - starts0,

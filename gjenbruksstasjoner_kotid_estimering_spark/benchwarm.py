@@ -45,6 +45,35 @@ PYDS_WARMED: tuple[str, ...] = (
 )
 
 
+def settle(
+    read_counts,
+    baseline: tuple[int, int],
+    expect_events: bool,
+    deadline_s: float = 1.0,
+    tick_s: float = 0.05,
+) -> None:
+    """Wait (bounded) for async StreamingQueryListener delivery to catch
+    up before reading per-row drain deltas. Returns immediately when the
+    counts already match the baseline and no events are expected (batch
+    rows pay zero sleep); otherwise polls until the counts hold still for
+    two consecutive ticks or the deadline passes. Without this, a late
+    start event attributes a stream row's drain to the FOLLOWING row
+    (r11 review). ``read_counts`` is a zero-arg callable returning the
+    current (starts, batches) tuple."""
+    import time
+
+    if not expect_events and read_counts() == baseline:
+        return
+    end = time.perf_counter() + deadline_s
+    prev = read_counts()
+    still = 0
+    while time.perf_counter() < end and still < 2:
+        time.sleep(tick_s)
+        cur = read_counts()
+        still = still + 1 if cur == prev else 0
+        prev = cur
+
+
 def run_warmup(spark, sf_dir: str, pyds: bool = True) -> None:
     """Run the fixed warm-up set untimed. ``pyds=False`` skips the Python
     DataSource read/write warm (the A/B arm for prewarm attribution)."""

@@ -1,0 +1,66 @@
+"""benchwarm invariants: the shared warm-up set and the listener settle.
+
+The warmup lives in ONE module consumed by bench.py and
+scripts/ab_isolated.py (r11 review: duplicated copies drifted apart
+within a single round); these tests keep the set honest against the
+registry and pin the settle loop's contract without a Spark session.
+"""
+
+from __future__ import annotations
+
+from gjenbruksstasjoner_kotid_estimering_spark import benchwarm, registry
+
+
+def test_warmup_names_all_registered():
+    """A registry rename must break LOUDLY here, not silently drop a warm
+    query (bench.py guards with `if name in specs`, which would quietly
+    un-warm the renamed row and skew the next sweep's comparability)."""
+    specs = registry.all_specs()
+    missing = [n for n in benchwarm.WARMUP + benchwarm.PYDS_WARMED if n not in specs]
+    assert not missing, f"benchwarm names not in registry: {missing}"
+
+
+def test_warmup_covers_a_streaming_row():
+    """The session's first streaming query pays ~2s one-time infra the
+    batch warmup never touches (r11 measurement) — the fixed set must
+    keep at least one true-streaming drain or that cost lands on an
+    arbitrary timed stream_* row again."""
+    assert any(n.startswith("stream_") for n in benchwarm.WARMUP)
+
+
+def test_settle_batch_row_pays_zero_sleep(monkeypatch):
+    """A batch row with no listener movement must return without sleeping
+    — 300 batch rows × any fixed sleep would distort the sweep wall."""
+    calls = []
+    monkeypatch.setattr("time.sleep", lambda s: calls.append(s))
+    benchwarm.settle(lambda: (3, 7), (3, 7), expect_events=False)
+    assert calls == []
+
+
+def test_settle_waits_for_stability():
+    """Counts still moving → keep polling; two consecutive stable reads →
+    return with the final counts visible to the caller."""
+    seq = iter([(1, 0), (1, 1), (1, 2), (1, 2), (1, 2), (1, 2)])
+    last = {"v": (0, 0)}
+
+    def read():
+        last["v"] = next(seq, last["v"])
+        return last["v"]
+
+    benchwarm.settle(read, (0, 0), expect_events=True, tick_s=0.001)
+    assert last["v"] == (1, 2)
+
+
+def test_settle_respects_deadline():
+    """Counts that never stabilize must not hang past the deadline."""
+    import time
+
+    n = {"v": 0}
+
+    def read():
+        n["v"] += 1
+        return (n["v"], 0)
+
+    t0 = time.perf_counter()
+    benchwarm.settle(read, (0, 0), expect_events=True, deadline_s=0.1, tick_s=0.01)
+    assert time.perf_counter() - t0 < 1.0
