@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r4 (5 keys) ---
-    "text_winnow_fingerprints",
-    "timeseries_rollup_cascade",
-    "udtf_polymorphic_split",
-    "upsert_merge_tx",
-    "window_islands_runs",
-    # --- newest driver evidence r5 (49 keys) ---
-    "agg_collect",
-    "agg_stats_exact",
-    "case_when_threshold",
-    "conditional_projection",
-    "corpus_prep_pipeline",
-    "derived_arithmetic",
-    "embedding_pq_codes",
-    "events_top_paths",
-    "filter_predicates",
-    "image_pipeline_stats",
-    "join_anti",
-    "join_bucketed_colocated",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_outer",
-    "join_range",
-    "join_right_outer",
-    "join_semi",
-    "merge_tx_changes",
-    "merge_tx_schema_evolution",
-    "posexplode_tokens",
-    "range_filter",
-    "regex_extract_all_tokens",
-    "sample_stratified",
-    "scalar_math_projection",
-    "scan_limit1",
-    "scan_orc_roundtrip",
-    "scan_project",
-    "scan_xml_roundtrip",
-    "sink_python_datasource",
-    "sql_ddl_roundtrip",
-    "stream_dedup_true",
-    "stream_error_followup_join",
-    "stream_merge_sink_true",
-    "stream_session_window_true",
-    "stream_stateful_tracker",
-    "stream_tumbling_window_true",
-    "string_collation_ci",
-    "string_funcs",
-    "string_regexp_replace",
-    "subquery_scalar",
-    "text_bpe_tokens",
-    "text_lang_agg",
-    "text_langid",
+    # --- newest driver evidence r5 (4 keys) ---
     "text_quality",
     "text_token_counts",
     "unpivot_melt",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q8",
     "tpch_q9",
     "window_ignore_nulls",
+    # --- newest driver evidence r11 (50 keys) ---
+    "agg_collect",
+    "agg_stats_exact",
+    "case_when_threshold",
+    "conditional_projection",
+    "corpus_prep_pipeline",
+    "derived_arithmetic",
+    "embedding_pq_codes",
+    "events_top_paths",
+    "filter_predicates",
+    "image_pipeline_stats",
+    "join_anti",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "merge_tx_changes",
+    "merge_tx_schema_evolution",
+    "posexplode_tokens",
+    "range_filter",
+    "regex_extract_all_tokens",
+    "sample_stratified",
+    "scalar_math_projection",
+    "scan_limit1",
+    "scan_orc_roundtrip",
+    "scan_project",
+    "scan_xml_roundtrip",
+    "sink_python_datasource",
+    "sql_ddl_roundtrip",
+    "stream_dedup_true",
+    "stream_error_followup_join",
+    "stream_merge_sink_true",
+    "stream_session_window_true",
+    "stream_stateful_tracker",
+    "stream_tumbling_window_true",
+    "string_collation_ci",
+    "string_funcs",
+    "string_regexp_replace",
+    "subquery_scalar",
+    "text_bpe_tokens",
+    "text_lang_agg",
+    "text_langid",
+    "text_winnow_fingerprints",
+    "timeseries_rollup_cascade",
+    "udtf_polymorphic_split",
+    "upsert_merge_tx",
+    "window_islands_runs",
 )
 
 
