@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 from gjenbruksstasjoner_kotid_estimering_spark import benchwarm, registry
 from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
-USAGE = "usage: ab_isolated.py [--no-pyds-warm] [--repeat N] query ..."
+USAGE = "usage: ab_isolated.py [--no-pyds-warm] [--repeat N>=1] query ..."
 
 
 def main() -> int:
@@ -53,7 +53,7 @@ def main() -> int:
     except (StopIteration, ValueError):
         print(USAGE, file=sys.stderr)
         return 2
-    if not names:
+    if not names or repeat < 1:
         print(USAGE, file=sys.stderr)
         return 2
 

@@ -51,6 +51,90 @@ def test_settle_waits_for_stability():
     assert last["v"] == (1, 2)
 
 
+class _FakeWriter:
+    def format(self, _):
+        return self
+
+    def mode(self, _):
+        return self
+
+    def save(self):
+        pass
+
+
+class _FakeDF:
+    write = _FakeWriter()
+
+
+class _Spec:
+    def __init__(self, builder):
+        self.builder = builder
+
+
+class _Counter:
+    def __init__(self):
+        self.starts = 0
+        self.batches = 0
+
+
+def test_sweep_settles_even_when_row_fails(monkeypatch):
+    """A failed row's in-flight listener tail must drain before the next
+    row reads its baseline — otherwise the tail is attributed to the NEXT
+    row's delta (r11 advice: the except path skipped the settle)."""
+    import bench
+
+    settled = []
+    monkeypatch.setattr(benchwarm, "settle", lambda *a, **k: settled.append(a))
+
+    counter = _Counter()
+
+    def boom(spark, sf_dir):
+        counter.starts += 1  # stream started, then the drain died
+        raise RuntimeError("drain died")
+
+    stats: dict = {}
+    timings, errors = bench._sweep(None, {"stream_bad": _Spec(boom)}, "x", counter, stats)
+    assert len(settled) == 1
+    assert "stream_bad" in errors and "stream_bad" not in timings
+    # the started stream is still visible in the diagnostics
+    assert stats["stream_bad"]["queries"] == 1
+
+
+def test_sweep_stats_failure_cannot_error_a_timed_row(monkeypatch):
+    """timings and errors are mutually exclusive: an exception in the
+    post-timing settle/stats bookkeeping must not re-classify a
+    successfully timed row as errored (r11 advice)."""
+    import bench
+
+    def bad_settle(*a, **k):
+        raise RuntimeError("listener bus gone")
+
+    monkeypatch.setattr(benchwarm, "settle", bad_settle)
+    timings, errors = bench._sweep(
+        None, {"good": _Spec(lambda s, d: _FakeDF())}, "x", _Counter(), {}
+    )
+    assert "good" in timings
+    assert errors == {}
+
+
+def test_ab_isolated_rejects_nonpositive_repeat():
+    """--repeat 0 (or negative) must exit 2 with usage, not print a
+    misleading JSON line with empty timing lists (r11 advice)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "ab_isolated.py"), "--repeat", "0", "tpch_q1"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "usage" in proc.stderr
+
+
 def test_settle_respects_deadline():
     """Counts that never stabilize must not hang past the deadline."""
     import time
