@@ -35,6 +35,29 @@ from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 RERUN_TOP_K = 10
 
 
+def summary_line(timings, errors, warmup_ok, sf_val) -> dict:
+    """The ONE JSON line the driver parses (BENCH_r{N}.json).
+
+    Kept compact on purpose — round 1's full per-query map overflowed the
+    driver's stdout tail capture ("parsed": null) — and schema-pinned by
+    tests/test_benchwarm.py: metric/value/unit/n_queries/queries/
+    warmup_ok/sf always present, n_errors/errors only when a row failed.
+    """
+    line = {
+        "metric": "full queries() sweep wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "warmup_ok": warmup_ok,
+        "sf": sf_val,
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+        line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+    return line
+
+
 def _sweep(spark, specs, sf_dir, counter, stream_stats) -> tuple[dict, dict]:
     """Time every query; return ({name: sec}, {name: error}).
 
@@ -226,20 +249,7 @@ def main() -> None:
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    line = {
-        "metric": "full queries() sweep wall time",
-        "value": total,
-        "unit": "sec",
-        "n_queries": len(timings),
-        "queries": slowest,
-        "warmup_ok": warmup_ok,
-        "sf": sf_val,
-    }
-    if errors:
-        line["n_errors"] = len(errors)
-        line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
-    print(json.dumps(line))
+    print(json.dumps(summary_line(timings, errors, warmup_ok, sf_val)))
 
 
 if __name__ == "__main__":

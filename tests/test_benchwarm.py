@@ -117,6 +117,30 @@ def test_sweep_stats_failure_cannot_error_a_timed_row(monkeypatch):
     assert errors == {}
 
 
+def test_bench_summary_line_schema_is_stable():
+    """The printed line is the driver's ONLY bench interface (a malformed
+    line in round 1 cost the round its bench artifact). Pin the key set,
+    the JSON-serializability, and the 5-slowest truncation."""
+    import json
+
+    import bench
+
+    timings = {f"q{i}": float(i) for i in range(1, 9)}
+    line = bench.summary_line(timings, {}, True, 0.1)
+    assert set(line) == {
+        "metric", "value", "unit", "n_queries", "queries", "warmup_ok", "sf"
+    }
+    assert line["value"] == round(sum(timings.values()), 3)
+    assert line["n_queries"] == 8
+    assert list(line["queries"]) == ["q8", "q7", "q6", "q5", "q4"]
+    json.dumps(line)  # must survive serialization
+
+    with_err = bench.summary_line(timings, {"qx": "Boom: " + "y" * 500}, False, 0.1)
+    assert with_err["n_errors"] == 1
+    assert len(with_err["errors"]["qx"]) <= 80
+    json.dumps(with_err)
+
+
 def test_ab_isolated_rejects_nonpositive_repeat():
     """--repeat 0 (or negative) must exit 2 with usage, not print a
     misleading JSON line with empty timing lists (r11 advice)."""
