@@ -58,12 +58,14 @@ def summary_line(timings, errors, warmup_ok, sf_val) -> dict:
     return line
 
 
-def _sweep(spark, specs, sf_dir, counter, stream_stats) -> tuple[dict, dict]:
+def _sweep(spark, specs, sf_dir, counter, stream_stats, tag="") -> tuple[dict, dict]:
     """Time every query; return ({name: sec}, {name: error}).
 
     Extracted from main() so the per-row guard contract is unit-testable
     (tests/test_benchwarm.py): a row appears in EXACTLY one of timings /
-    errors, and the listener settle runs even for failed rows.
+    errors, and the listener settle runs even for failed rows. ``tag``
+    prefixes stderr failure lines so a rerun-pass failure is not
+    mistaken for a timed-sweep failure in the log.
     """
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -86,7 +88,7 @@ def _sweep(spark, specs, sf_dir, counter, stream_stats) -> tuple[dict, dict]:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — sweep must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            print(f"bench: {tag}{name} FAILED: {errors[name]}", file=sys.stderr)
         finally:
             # settle OUTSIDE the timed region: the drain already finished;
             # this only waits for the listener bus to catch up. It runs in
@@ -195,18 +197,16 @@ def main() -> None:
     rerun_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])][
         :RERUN_TOP_K
     ]
-    second_run, _rerun_errors = _sweep(
-        spark, {n: specs[n] for n in rerun_names}, sf_dir, counter, {}
+    second_run, rerun_errors = _sweep(
+        spark, {n: specs[n] for n in rerun_names}, sf_dir, counter, {}, tag="rerun:"
     )
-    first_run_overhead = {
-        n: round(timings[n] - s, 3) for n, s in sorted(second_run.items())
-    }
+    first_run_overhead = {n: round(timings[n] - s, 3) for n, s in second_run.items()}
 
-    total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    line = summary_line(timings, errors, warmup_ok, sf_val)
     full = {
         "metric": "full queries() sweep wall time",
-        "value": total,
+        "value": line["value"],
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,
@@ -240,16 +240,20 @@ def main() -> None:
         # JIT/class-load cost. A heavy row whose second run is fast is
         # paying one-time overhead, not plan waste; a row that stays
         # heavy on the second run has intrinsic cost worth a plan look.
-        # Negative overhead ≈ run-to-run jitter (treat as ~0).
-        "second_run_s": dict(sorted(second_run.items())),
+        # Negative overhead ≈ run-to-run jitter (treat as ~0). A row in
+        # second_run_errors failed its UNTIMED rerun (flake under a
+        # 300-query-old session) — it is absent from second_run_s and
+        # does NOT count toward the summary line's error fields.
+        "second_run_s": second_run,
         "first_run_overhead_s": first_run_overhead,
+        "second_run_errors": rerun_errors,
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    print(json.dumps(summary_line(timings, errors, warmup_ok, sf_val)))
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -117,6 +117,25 @@ def test_sweep_stats_failure_cannot_error_a_timed_row(monkeypatch):
     assert errors == {}
 
 
+def test_sweep_tag_marks_rerun_failures(monkeypatch, capsys):
+    """The untimed second-run pass reuses _sweep; its stderr failure
+    lines must be distinguishable from timed-sweep failures, and the
+    rerun's error dict is returned (recorded as second_run_errors in the
+    sidecar) rather than discarded."""
+    import bench
+
+    monkeypatch.setattr(benchwarm, "settle", lambda *a, **k: None)
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("rerun flake")
+
+    timings, errors = bench._sweep(
+        None, {"heavy": _Spec(boom)}, "x", _Counter(), {}, tag="rerun:"
+    )
+    assert timings == {} and "heavy" in errors
+    assert "bench: rerun:heavy FAILED" in capsys.readouterr().err
+
+
 def test_bench_summary_line_schema_is_stable():
     """The printed line is the driver's ONLY bench interface (a malformed
     line in round 1 cost the round its bench artifact). Pin the key set,
