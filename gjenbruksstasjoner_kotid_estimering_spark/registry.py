@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r5 (4 keys) ---
-    "text_quality",
-    "text_token_counts",
-    "unpivot_melt",
-    "window_running_distinct",
-    # --- newest driver evidence r6 (49 keys) ---
-    "agg_count_min_sketch",
-    "agg_kmv_sketch_rollup",
-    "agg_listagg_ordered",
-    "agg_transpose_matrix",
-    "bpe_train_merges",
-    "date_tz_convert",
-    "er_resolve_parts",
-    "events_attribution_touch",
-    "events_feature_store_pit",
-    "events_regex_sequence_match",
-    "graph_sssp_weighted",
-    "join_aqe_skew",
-    "join_strategy_hints",
-    "merge_tx_cdf_to_scd2",
-    "merge_tx_ivm_aggregate",
-    "merge_tx_time_travel",
-    "ml_als_recommend",
-    "ml_kmeans_one_step_exact",
-    "scan_file_metadata",
-    "scan_nested_schema_pruning",
-    "scan_observe_metrics",
-    "set_intersect_except_all",
-    "sql_ddl_default_columns",
-    "sql_execute_immediate",
-    "sql_group_by_all",
-    "sql_interval_arithmetic",
-    "sql_lateral_column_alias",
-    "sql_scripting_block",
-    "stat_chi_square_independence",
-    "stat_corr_covar_exact",
-    "stat_kendall_tau_exact",
-    "stat_ks_two_sample_exact",
-    "stat_mann_whitney_u_exact",
-    "stat_spearman_rank_exact",
-    "stream_late_data_drop_true",
-    "stream_python_datasource_true",
-    "stream_scd2_dimension_true",
-    "stream_statestore_reader",
-    "stream_union_sources_true",
-    "string_url_parse",
-    "subquery_not_in_null_semantics",
-    "text_heavy_hitter_tokens",
-    "text_ttr_lexical_diversity",
-    "text_url_canonical_dedup",
-    "timeseries_ewma_dyadic",
-    "udf_map_in_arrow",
+    # --- newest driver evidence r6 (3 keys) ---
     "udf_pandas_grouped_agg",
     "window_cume_dist_deciles",
     "window_running_median_exact",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_polymorphic_split",
     "upsert_merge_tx",
     "window_islands_runs",
+    # --- newest driver evidence r12 (50 keys) ---
+    "agg_count_min_sketch",
+    "agg_kmv_sketch_rollup",
+    "agg_listagg_ordered",
+    "agg_transpose_matrix",
+    "bpe_train_merges",
+    "date_tz_convert",
+    "er_resolve_parts",
+    "events_attribution_touch",
+    "events_feature_store_pit",
+    "events_regex_sequence_match",
+    "graph_sssp_weighted",
+    "join_aqe_skew",
+    "join_strategy_hints",
+    "merge_tx_cdf_to_scd2",
+    "merge_tx_ivm_aggregate",
+    "merge_tx_time_travel",
+    "ml_als_recommend",
+    "ml_kmeans_one_step_exact",
+    "scan_file_metadata",
+    "scan_nested_schema_pruning",
+    "scan_observe_metrics",
+    "set_intersect_except_all",
+    "sql_ddl_default_columns",
+    "sql_execute_immediate",
+    "sql_group_by_all",
+    "sql_interval_arithmetic",
+    "sql_lateral_column_alias",
+    "sql_scripting_block",
+    "stat_chi_square_independence",
+    "stat_corr_covar_exact",
+    "stat_kendall_tau_exact",
+    "stat_ks_two_sample_exact",
+    "stat_mann_whitney_u_exact",
+    "stat_spearman_rank_exact",
+    "stream_late_data_drop_true",
+    "stream_python_datasource_true",
+    "stream_scd2_dimension_true",
+    "stream_statestore_reader",
+    "stream_union_sources_true",
+    "string_url_parse",
+    "subquery_not_in_null_semantics",
+    "text_heavy_hitter_tokens",
+    "text_quality",
+    "text_token_counts",
+    "text_ttr_lexical_diversity",
+    "text_url_canonical_dedup",
+    "timeseries_ewma_dyadic",
+    "udf_map_in_arrow",
+    "unpivot_melt",
+    "window_running_distinct",
 )
 
 
