@@ -42,6 +42,9 @@ def summary_line(timings, errors, warmup_ok, sf_val) -> dict:
     driver's stdout tail capture ("parsed": null) — and schema-pinned by
     tests/test_benchwarm.py: metric/value/unit/n_queries/queries/
     warmup_ok/sf always present, n_errors/errors only when a row failed.
+    With >3 failures the "errors" preview shows the first 3 in sweep
+    (alphabetical) order, not by relevance — n_errors carries the true
+    count and the complete error map is in bench_full.json.
     """
     line = {
         "metric": "full queries() sweep wall time",
@@ -197,14 +200,61 @@ def main() -> None:
     rerun_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])][
         :RERUN_TOP_K
     ]
+    second_run_stream_stats: dict[str, dict[str, int]] = {}
     second_run, rerun_errors = _sweep(
-        spark, {n: specs[n] for n in rerun_names}, sf_dir, counter, {}, tag="rerun:"
+        spark,
+        {n: specs[n] for n in rerun_names},
+        sf_dir,
+        counter,
+        second_run_stream_stats,
+        tag="rerun:",
     )
     first_run_overhead = {n: round(timings[n] - s, 3) for n, s in second_run.items()}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     line = summary_line(timings, errors, warmup_ok, sf_val)
-    full = {
+    full = full_sidecar(
+        line,
+        timings=timings,
+        errors=errors,
+        prewarmed=sorted(
+            n for n in benchwarm.WARMUP + benchwarm.PYDS_WARMED if n in specs
+        ),
+        warmup_ok=warmup_ok,
+        stream_stats=stream_stats,
+        second_run=second_run,
+        first_run_overhead=first_run_overhead,
+        rerun_errors=rerun_errors,
+        second_run_stream_stats=second_run_stream_stats,
+        sf_val=sf_val,
+    )
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    print(json.dumps(line))
+
+
+def full_sidecar(
+    line,
+    *,
+    timings,
+    errors,
+    prewarmed,
+    warmup_ok,
+    stream_stats,
+    second_run,
+    first_run_overhead,
+    rerun_errors,
+    second_run_stream_stats,
+    sf_val,
+) -> dict:
+    """The bench_full.json sidecar (schema-pinned in tests/test_benchwarm.py).
+
+    The totals are single-sourced from the already-built summary line so
+    the two artifacts can never disagree (r12 review).
+    """
+    return {
         "metric": "full queries() sweep wall time",
         "value": line["value"],
         "unit": "sec",
@@ -216,11 +266,7 @@ def main() -> None:
         # cross-query comparisons against them are skewed by design (the
         # warm-up exists to stabilize the TOTAL across rounds). Recorded
         # here so per-query readers can discount them.
-        "prewarmed": sorted(
-            n
-            for n in benchwarm.WARMUP + benchwarm.PYDS_WARMED
-            if n in specs
-        ),
+        "prewarmed": prewarmed,
         # False = the warm-up block died and the sweep ran cold: totals
         # are NOT comparable to warm rounds (r5 finding: fresh-JVM C2
         # cold starts alone spread identical code 163-282s). Readers
@@ -247,13 +293,15 @@ def main() -> None:
         "second_run_s": second_run,
         "first_run_overhead_s": first_run_overhead,
         "second_run_errors": rerun_errors,
+        # Drain deltas for the rerun pass, same shape as stream_stats
+        # (r12 advice): a heavy stream_* row's first_run_overhead_s is
+        # only meaningful if its rerun drained the SAME batch count —
+        # compare the row here against its stream_stats entry; a count
+        # change means the rerun measured a different drain, not
+        # steady-state cost.
+        "second_run_stream_stats": second_run_stream_stats,
         "sf": sf_val,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
-    with open(sidecar, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-
-    print(json.dumps(line))
 
 
 if __name__ == "__main__":

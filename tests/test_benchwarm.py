@@ -160,6 +160,42 @@ def test_bench_summary_line_schema_is_stable():
     json.dumps(with_err)
 
 
+def test_full_sidecar_schema_is_stable():
+    """bench_full.json is the triage artifact behind every sweep-blip
+    adjudication (r11/r12 verdicts read it directly) — pin the key set,
+    total single-sourcing from the summary line, and the r12-advice
+    second_run_stream_stats field so a rerun's drain deltas are never
+    silently dropped again."""
+    import json
+
+    import bench
+
+    timings = {"stream_x": 4.0, "batch_y": 1.0}
+    line = bench.summary_line(timings, {}, True, 0.1)
+    full = bench.full_sidecar(
+        line,
+        timings=timings,
+        errors={},
+        prewarmed=["batch_y"],
+        warmup_ok=True,
+        stream_stats={"stream_x": {"queries": 1, "microbatches": 4}},
+        second_run={"stream_x": 1.5},
+        first_run_overhead={"stream_x": 2.5},
+        rerun_errors={},
+        second_run_stream_stats={"stream_x": {"queries": 1, "microbatches": 4}},
+        sf_val=0.1,
+    )
+    assert set(full) == {
+        "metric", "value", "unit", "n_queries", "queries", "errors",
+        "prewarmed", "warmup_ok", "stream_stats", "second_run_s",
+        "first_run_overhead_s", "second_run_errors",
+        "second_run_stream_stats", "sf",
+    }
+    assert full["value"] == line["value"]  # single-sourced total
+    assert full["second_run_stream_stats"]["stream_x"]["microbatches"] == 4
+    json.dumps(full)  # must survive serialization
+
+
 def test_ab_isolated_rejects_nonpositive_repeat():
     """--repeat 0 (or negative) must exit 2 with usage, not print a
     misleading JSON line with empty timing lists (r11 advice)."""
