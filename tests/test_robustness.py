@@ -1,0 +1,96 @@
+"""Standing de-tuned-session guard (the in-suite slice of
+scripts/robustness_sweep.py).
+
+Correctness must be invariant to the session's performance posture: a
+driver-owned cluster session may run with AQE off (it IS off inside
+stateful streaming), a broadcast threshold too small for any dimension
+table, an arbitrary shuffle width, and far more input splits than the
+local default. The full-registry version of this check is
+scripts/robustness_sweep.py (303/303 at sf0.001, recorded in
+PROGRESS.md); this test keeps a representative 10-key slice of it in
+every pytest run by flipping the RUNTIME-settable knobs on the shared
+session and restoring them afterwards.
+
+Key selection: one per plan shape the knobs actually stress —
+salting (agg_salted_skew), AQE skew-join handling (join_aqe_skew),
+bucketed co-location (join_bucketed_colocated), broadcast+window-group-
+limit (agg_median_mode), explicit pinned broadcast under a 1MB threshold
+(asof_interp_join, the reference's np.interp range join), shuffle-heavy
+multi-join (events_funnel, tpch_q21), candidate-join dedup
+(dedup_ngram_jaccard), running-window state (window_running_median_exact),
+and an explode-heavy text pass (text_token_counts).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gjenbruksstasjoner_kotid_estimering_spark import registry
+
+import scripts.compare as cmp
+
+SF = "/root/testdata/sf0.001"
+
+DETUNED = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "1MB",
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "131072",
+}
+
+KEYS = (
+    "agg_salted_skew",
+    "join_aqe_skew",
+    "join_bucketed_colocated",
+    "agg_median_mode",
+    "asof_interp_join",
+    "events_funnel",
+    "tpch_q21",
+    "dedup_ngram_jaccard",
+    "window_running_median_exact",
+    "text_token_counts",
+)
+
+
+@pytest.fixture(scope="module")
+def detuned_spark(spark):
+    saved = {k: spark.conf.get(k) for k in DETUNED}
+    for k, v in DETUNED.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = cmp.duck_con(SF)
+    yield con
+    con.close()
+
+
+def test_keys_are_registered():
+    specs = registry.all_specs()
+    missing = [k for k in KEYS if k not in specs]
+    assert not missing, f"robustness slice names unregistered keys: {missing}"
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_detuned_session_matches_oracle(detuned_spark, duck, name):
+    spec = registry.all_specs()[name]
+    sdf = spec.builder(detuned_spark, SF).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) > 0, f"{name}: rows-only query returned no rows"
+        return
+    ddf = duck.execute(spec.oracle).fetchdf()
+    problems = cmp.compare(name, sdf, ddf)
+    assert not problems, f"{name} (de-tuned session): {problems}"
+
+
+def test_detuned_confs_are_runtime_settable(spark):
+    """The fixture silently no-ops if a knob ever becomes static — fail
+    loudly instead, since the whole guard rests on the flip happening."""
+    for k in DETUNED:
+        spark.conf.get(k)  # raises if the conf vanishes from this build
