@@ -67,6 +67,10 @@ def main() -> int:
 
     con = duck_con(sf_dir)
     specs = registry.all_specs()
+    unknown = [n for n in args if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown} (see registry.queries())")
+        return 2
     names = args or sorted(specs)
 
     failures: list[str] = []
