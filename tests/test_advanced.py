@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from gjenbruksstasjoner_kotid_estimering_spark import registry
 from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
 
+from conftest import HYP_EXAMPLES
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -101,7 +103,7 @@ def test_sessionize_gaps_properties_hypothesis(spark):
 
     GAP_US = 1800 * 1_000_000
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=HYP_EXAMPLES, deadline=None)
     @given(
         offsets=st.lists(  # event offsets in seconds over a ~6 h horizon
             st.integers(0, 6 * 3600), min_size=1, max_size=60

@@ -9,6 +9,8 @@ from unittest import mock
 
 from gjenbruksstasjoner_kotid_estimering_spark import registry
 
+from conftest import HYP_EXAMPLES
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -31,7 +33,7 @@ def test_interval_join_matches_bruteforce_hypothesis(spark):
 
     import gjenbruksstasjoner_kotid_estimering_spark.plans.advanced2 as adv2
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=HYP_EXAMPLES, deadline=None)
     @given(
         events=st.lists(
             st.tuples(
@@ -77,7 +79,7 @@ def test_time_bounded_dedup_matches_bruteforce_hypothesis(spark):
 
     import gjenbruksstasjoner_kotid_estimering_spark.plans.advanced2 as adv2
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=HYP_EXAMPLES, deadline=None)
     @given(
         events=st.lists(
             st.tuples(

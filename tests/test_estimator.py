@@ -10,6 +10,8 @@ import pytest
 
 from gjenbruksstasjoner_kotid_estimering_spark.functions import estimator as est
 
+from conftest import HYP_EXAMPLES
+
 
 def _cars(spark, rows):
     """rows: [(queue_end_pos, queue_lanes, queue_full), ...] → cars list."""
@@ -108,7 +110,7 @@ def test_interp_random_point_sets_hypothesis(spark):
     example is slow, so examples are few but each covers many probes."""
     from hypothesis import assume, given, settings, strategies as st
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=HYP_EXAMPLES, deadline=None)
     @given(
         xs=st.lists(
             st.floats(-1e4, 1e4, allow_nan=False, allow_subnormal=False),

@@ -26,6 +26,8 @@ from gjenbruksstasjoner_kotid_estimering_spark.operators.traindata4 import (
     text_segment_dedup,
 )
 
+from conftest import HYP_EXAMPLES
+
 SF = "/root/testdata/sf0.001"
 
 DOC_SCHEMA = (
@@ -222,7 +224,7 @@ def test_anomaly_mad_cents_form_on_random_2dp_corpora(spark, tmp_path):
 
     counter = [0]
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=HYP_EXAMPLES, deadline=None)
     @given(
         cents=st.lists(st.integers(0, 5000), min_size=1, max_size=60),
         ntypes=st.integers(1, 3),
