@@ -89,6 +89,34 @@ def test_detuned_session_matches_oracle(detuned_spark, duck, name):
     assert not problems, f"{name} (de-tuned session): {problems}"
 
 
+TZ_KEYS = ("date_tz_convert", "date_trunc_agg", "window_time_range_rolling")
+
+
+@pytest.mark.parametrize("name", TZ_KEYS)
+def test_entry_wrapper_heals_foreign_session_timezone(spark, duck, name):
+    """A driver-owned cluster session may come up in any timezone; the
+    engine's declared semantics are UTC (session.py RUNTIME_CONFS). The
+    driver boundary self-heals because __spark_entry__.queries() wraps
+    every builder in tune() — prove it by running timestamp-sensitive
+    keys on a session deliberately flipped to Europe/Oslo (the
+    reference's own wall-time zone, estimate_queue.py:49-51)."""
+    import __spark_entry__ as E
+
+    tz_conf = "spark.sql.session.timeZone"
+    saved = spark.conf.get(tz_conf)
+    spark.conf.set(tz_conf, "Europe/Oslo")
+    try:
+        sdf = E.queries()[name](spark, SF).toPandas()
+        # tune() inside the wrapper must have re-pinned UTC
+        assert spark.conf.get(tz_conf) == "UTC"
+        oracle = E.oracle_sql()[name]
+        ddf = duck.execute(oracle).fetchdf()
+        problems = cmp.compare(name, sdf, ddf)
+        assert not problems, f"{name} (Oslo-tz session): {problems}"
+    finally:
+        spark.conf.set(tz_conf, saved)
+
+
 def test_detuned_confs_are_runtime_settable(spark):
     """The fixture silently no-ops if a knob ever becomes static — fail
     loudly instead, since the whole guard rests on the flip happening."""
