@@ -102,48 +102,79 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
-    if args and os.path.isdir(args[0]):
-        args = args[1:]
+def cli_args(argv: list[str]) -> tuple[str, list[str]]:
+    """Shared CLI shape: optional sf_dir first, then query names."""
+    sf_dir = (
+        argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
+    )
+    if argv and os.path.isdir(argv[0]):
+        argv = argv[1:]
+    return sf_dir, argv
+
+
+def run_sweep(spark, con, sf_dir: str, names: list[str] | None = None) -> list[str]:
+    """Run registry queries vs their oracles on the GIVEN session and
+    DuckDB connection; return the failing names. The session is the
+    caller's choice — this is what lets the tuned lane (main below) and
+    the de-tuned lane (scripts/robustness_sweep.py) share one gate
+    instead of drifting copies. Unknown names are failures with a clean
+    message; a rows-only key returning zero rows is a failure too (its
+    declared gate is non-empty)."""
     specs = registry.all_specs()
-    names = args or sorted(specs)
-    spark = get_spark("compare-harness")
-    con = duck_con(sf_dir)
-    failures = 0
+    names = list(names) if names else sorted(specs)
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown} (see registry.queries())")
+    failures = list(unknown)
     for name in names:
+        if name in unknown:
+            continue
         spec = specs[name]
         t0 = time.time()
         try:
             sdf = spec.builder(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failures += 1
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
+            failures.append(name)
             continue
         if spec.oracle is None:
-            print(
-                f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)"
-                " [rows-only]"
-            )
             if len(sdf) == 0:
-                print(f"WARN  {name}: zero rows")
+                print(f"FAIL  {name}: zero rows [rows-only]", flush=True)
+                failures.append(name)
+            else:
+                print(
+                    f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)"
+                    " [rows-only]",
+                    flush=True,
+                )
             continue
         try:
             ddf = con.execute(spec.oracle).fetchdf()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failures += 1
+            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
+            failures.append(name)
             continue
         problems = compare(name, sdf, ddf)
         if problems:
-            failures += 1
-            print(f"FAIL  {name} ({len(sdf)} rows):")
+            failures.append(name)
+            print(f"FAIL  {name} ({len(sdf)} rows):", flush=True)
             for p in problems:
-                print(f"      {p}")
+                print(f"      {p}", flush=True)
         else:
-            print(f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
-    print(f"\n{len(names) - failures}/{len(names)} passed")
+            print(
+                f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+    return failures
+
+
+def main() -> int:
+    sf_dir, names = cli_args(sys.argv[1:])
+    spark = get_spark("compare-harness")
+    con = duck_con(sf_dir)
+    failures = run_sweep(spark, con, sf_dir, names)
+    total = len(names or registry.all_specs())
+    print(f"\n{total - len(failures)}/{total} passed")
     return 1 if failures else 0
 
 

@@ -26,6 +26,12 @@ semantics, not tuning. A pass means the registry's results are a pure
 function of the data — partitioning-, join-strategy-, and AQE-invariant —
 which is the portability contract a driver-owned cluster session needs.
 
+The gate itself (per-row builder/oracle/compare semantics) is shared with
+the tuned lane: ``scripts.compare.run_sweep`` — only the session differs.
+Recorded results (PROGRESS.md): 303/303 at sf0.001, sf0.01 AND sf0.1;
+the sf0.1 de-tuned total vs the tuned record measures the tuning posture
+at ~2.3× wall-clock, i.e. plans degrade gracefully, never wrongly.
+
 Usage: python scripts/robustness_sweep.py [sf_dir] [query ...]
        (defaults to sf0.001; ~4 min for all 303 keys)
 """
@@ -38,75 +44,45 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DETUNED_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "1MB",
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "131072",
+}
+
+SEMANTIC_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
 
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from gjenbruksstasjoner_kotid_estimering_spark import registry
-    from scripts.compare import compare, duck_con
+    from scripts.compare import cli_args, duck_con, run_sweep
 
-    args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
-    if args and os.path.isdir(args[0]):
-        args = args[1:]
+    sf_dir, names = cli_args(sys.argv[1:])
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("robustness-sweep")
-        .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "1MB")
-        .config("spark.sql.shuffle.partitions", "7")
-        .config("spark.sql.files.maxPartitionBytes", "131072")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    builder = SparkSession.builder.master("local[8]").appName(
+        "robustness-sweep"
     )
+    for k, v in {**DETUNED_CONFS, **SEMANTIC_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.config(
+        "spark.ui.showConsoleProgress", "false"
+    ).getOrCreate()
 
     con = duck_con(sf_dir)
-    specs = registry.all_specs()
-    unknown = [n for n in args if n not in specs]
-    if unknown:
-        print(f"unknown queries: {unknown} (see registry.queries())")
-        return 2
-    names = args or sorted(specs)
-
-    failures: list[str] = []
     t0 = time.time()
-    for name in names:
-        spec = specs[name]
-        try:
-            sdf = spec.builder(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}", flush=True)
-            failures.append(name)
-            continue
-        if spec.oracle is None:
-            # rows-only keys keep their declared non-empty gate here too
-            if len(sdf) == 0:
-                print(f"FAIL  {name}: zero rows [rows-only]", flush=True)
-                failures.append(name)
-            else:
-                print(f"rows  {name}: {len(sdf)} [rows-only]", flush=True)
-            continue
-        try:
-            ddf = con.execute(spec.oracle).fetchdf()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
-            failures.append(name)
-            continue
-        problems = compare(name, sdf, ddf)
-        if problems:
-            failures.append(name)
-            print(f"FAIL  {name}:", flush=True)
-            for p in problems:
-                print(f"      {p}", flush=True)
-        else:
-            print(f"ok    {name}: {len(sdf)} rows", flush=True)
+    failures = run_sweep(spark, con, sf_dir, names)
+    from gjenbruksstasjoner_kotid_estimering_spark import registry
+
+    total = len(names or registry.all_specs())
     print(
-        f"\nDE-TUNED SWEEP {sf_dir}: {len(names) - len(failures)}/{len(names)}"
+        f"\nDE-TUNED SWEEP {sf_dir}: {total - len(failures)}/{total}"
         f" pass in {time.time() - t0:.1f}s; failures: {failures}"
     )
     return 1 if failures else 0

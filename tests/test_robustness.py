@@ -31,12 +31,7 @@ import scripts.compare as cmp
 
 SF = "/root/testdata/sf0.001"
 
-DETUNED = {
-    "spark.sql.adaptive.enabled": "false",
-    "spark.sql.autoBroadcastJoinThreshold": "1MB",
-    "spark.sql.shuffle.partitions": "7",
-    "spark.sql.files.maxPartitionBytes": "131072",
-}
+from scripts.robustness_sweep import DETUNED_CONFS as DETUNED
 
 KEYS = (
     "agg_salted_skew",
@@ -117,8 +112,15 @@ def test_entry_wrapper_heals_foreign_session_timezone(spark, duck, name):
         spark.conf.set(tz_conf, saved)
 
 
-def test_detuned_confs_are_runtime_settable(spark):
-    """The fixture silently no-ops if a knob ever becomes static — fail
-    loudly instead, since the whole guard rests on the flip happening."""
-    for k in DETUNED:
-        spark.conf.get(k)  # raises if the conf vanishes from this build
+def test_detuned_confs_roundtrip_on_live_session(spark):
+    """The whole guard rests on the knobs being RUNTIME-settable: set
+    each de-tuned value on the live session, read it back, restore. If
+    Spark ever makes one of them static, conf.set raises here and the
+    lane's premise fails loudly instead of silently weakening."""
+    for k, v in DETUNED.items():
+        saved = spark.conf.get(k)
+        try:
+            spark.conf.set(k, v)
+            assert spark.conf.get(k) == v
+        finally:
+            spark.conf.set(k, saved)
