@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r6 (3 keys) ---
-    "udf_pandas_grouped_agg",
-    "window_cume_dist_deciles",
-    "window_running_median_exact",
-    # --- newest driver evidence r7 (50 keys) ---
-    "agg_approx_top_k",
-    "agg_bitmap_distinct_rollup",
-    "agg_distinct_exact_vs_approx",
-    "agg_max_by_min_by",
-    "agg_weighted_median",
-    "dedup_text_normalized",
-    "dq_constraint_checks",
-    "embedding_dim_stats",
-    "graph_bfs_distance",
-    "join_dynamic_partition_pruning",
-    "join_fuzzy_levenshtein",
-    "join_geo_gridblock",
-    "join_runtime_bloom",
-    "merge_tx_delete_cdf",
-    "merge_tx_evolve_conditional",
-    "merge_tx_full_clause_matrix",
-    "merge_tx_restore_version",
-    "merge_tx_sync_delete_scope",
-    "merge_tx_vacuum_retention",
-    "merge_tx_when_matched_delete",
-    "multimodal_image_phash_dedup",
-    "multimodal_image_tiles",
-    "pandas_api_pipeline",
-    "profile_skew_keys",
-    "sample_importance_weighted",
-    "sample_repeat_epochs",
-    "scan_csv_permissive_corrupt",
-    "scan_csv_roundtrip",
-    "scan_hive_partitioned",
-    "scan_jsonl_roundtrip",
-    "scan_parquet_merge_schema",
-    "scan_zorder_skipping",
-    "sink_dynamic_partition_overwrite",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "sql_session_variables",
-    "sql_udf_functions",
-    "stream_file_sink_exactly_once",
-    "stream_jsonl_ingest_true",
-    "stream_ohlc_true",
-    "stream_sliding_window_true",
-    "stream_static_enrich_true",
-    "stream_txn_multi_table_true",
-    "text_bigram_coverage",
-    "text_feature_hashing",
-    "text_vocab_zipf_stats",
-    "timeseries_merge_intervals",
+    # --- newest driver evidence r7 (3 keys) ---
     "txn_multi_table_atomic",
     "udf_arrow_scalar",
     "udtf_table_arg_topk",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "unpivot_melt",
     "window_running_distinct",
+    # --- newest driver evidence r13 (50 keys) ---
+    "agg_approx_top_k",
+    "agg_bitmap_distinct_rollup",
+    "agg_distinct_exact_vs_approx",
+    "agg_max_by_min_by",
+    "agg_weighted_median",
+    "dedup_text_normalized",
+    "dq_constraint_checks",
+    "embedding_dim_stats",
+    "graph_bfs_distance",
+    "join_dynamic_partition_pruning",
+    "join_fuzzy_levenshtein",
+    "join_geo_gridblock",
+    "join_runtime_bloom",
+    "merge_tx_delete_cdf",
+    "merge_tx_evolve_conditional",
+    "merge_tx_full_clause_matrix",
+    "merge_tx_restore_version",
+    "merge_tx_sync_delete_scope",
+    "merge_tx_vacuum_retention",
+    "merge_tx_when_matched_delete",
+    "multimodal_image_phash_dedup",
+    "multimodal_image_tiles",
+    "pandas_api_pipeline",
+    "profile_skew_keys",
+    "sample_importance_weighted",
+    "sample_repeat_epochs",
+    "scan_csv_permissive_corrupt",
+    "scan_csv_roundtrip",
+    "scan_hive_partitioned",
+    "scan_jsonl_roundtrip",
+    "scan_parquet_merge_schema",
+    "scan_zorder_skipping",
+    "sink_dynamic_partition_overwrite",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "sql_udf_functions",
+    "stream_file_sink_exactly_once",
+    "stream_jsonl_ingest_true",
+    "stream_ohlc_true",
+    "stream_sliding_window_true",
+    "stream_static_enrich_true",
+    "stream_txn_multi_table_true",
+    "text_bigram_coverage",
+    "text_feature_hashing",
+    "text_vocab_zipf_stats",
+    "timeseries_merge_intervals",
+    "udf_pandas_grouped_agg",
+    "window_cume_dist_deciles",
+    "window_running_median_exact",
 )
 
 
