@@ -31,7 +31,8 @@ from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
 # Slowest-row count for the untimed second-run pass (first-execution
 # overhead measurement — see the sidecar's first_run_overhead_s note).
-# ~10 rows × 2-5s ≈ 30-45s extra wall outside the timed total.
+# All stream_* rows join the pass too, so ~25 rows × 1-5s ≈ 60-90s extra
+# wall outside the timed total.
 RERUN_TOP_K = 10
 
 
@@ -200,6 +201,16 @@ def main() -> None:
     rerun_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])][
         :RERUN_TOP_K
     ]
+    # Every stream_* row joins the rerun pass regardless of rank (r13
+    # verdict #7): a stream row's first_run_overhead_s is only readable
+    # against its rerun drain count, and a stream row OUTSIDE the slowest-K
+    # that moves in a later sweep would otherwise have no rerun drain
+    # record to triage against. Untimed, so the extra rows never touch
+    # "value".
+    rerun_names += [
+        n for n in sorted(timings)
+        if n.startswith("stream_") and n not in rerun_names
+    ]
     second_run_stream_stats: dict[str, dict[str, int]] = {}
     second_run, rerun_errors = _sweep(
         spark,
@@ -209,7 +220,7 @@ def main() -> None:
         second_run_stream_stats,
         tag="rerun:",
     )
-    first_run_overhead = {n: round(timings[n] - s, 3) for n, s in second_run.items()}
+    first_run_overhead = overhead_map(timings, second_run)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     line = summary_line(timings, errors, warmup_ok, sf_val)
@@ -233,6 +244,22 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     print(json.dumps(line))
+
+
+def overhead_map(timings: dict, second_run: dict) -> dict:
+    """first_run_overhead_s = timed entry − untimed rerun, per rerun row.
+
+    A NEGATIVE delta means the untimed rerun came out slower than the
+    timed first run — that row measured host noise, not warm-in overhead
+    (r13 advice: graph_triangle_count −10.3s in one committed sweep).
+    Record null so a sidecar reader can't mistake noise for negative JIT
+    cost; the raw pair survives in queries / second_run_s.
+    """
+    out = {}
+    for n, s in second_run.items():
+        d = round(timings[n] - s, 3)
+        out[n] = d if d >= 0 else None
+    return out
 
 
 def full_sidecar(
@@ -286,7 +313,8 @@ def full_sidecar(
         # JIT/class-load cost. A heavy row whose second run is fast is
         # paying one-time overhead, not plan waste; a row that stays
         # heavy on the second run has intrinsic cost worth a plan look.
-        # Negative overhead ≈ run-to-run jitter (treat as ~0). A row in
+        # A null overhead means the rerun was SLOWER than the timed run —
+        # host noise, unusable for warm-in triage. A row in
         # second_run_errors failed its UNTIMED rerun (flake under a
         # 300-query-old session) — it is absent from second_run_s and
         # does NOT count toward the summary line's error fields.

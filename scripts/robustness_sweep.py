@@ -75,6 +75,20 @@ def main() -> int:
         "spark.ui.showConsoleProgress", "false"
     ).getOrCreate()
 
+    # getOrCreate() silently IGNORES builder configs when a session already
+    # exists in the process — a pre-existing tuned session would make this
+    # "de-tuned" sweep report a misleading green. Runtime-settable knobs can
+    # be re-applied; verify every one actually holds before sweeping.
+    for k, v in DETUNED_CONFS.items():
+        spark.conf.set(k, v)
+        got = spark.conf.get(k)
+        if got != v:
+            print(
+                f"ABORT: session is not de-tuned ({k}={got!r}, want {v!r});"
+                " a pre-existing SparkSession swallowed the builder configs."
+            )
+            return 2
+
     con = duck_con(sf_dir)
     t0 = time.time()
     failures = run_sweep(spark, con, sf_dir, names)

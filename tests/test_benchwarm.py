@@ -196,6 +196,22 @@ def test_full_sidecar_schema_is_stable():
     json.dumps(full)  # must survive serialization
 
 
+def test_overhead_map_nulls_negative_deltas():
+    """A rerun slower than the timed first run measured host noise, not
+    warm-in overhead (r13 advice: -10.3s rows in a committed sidecar made
+    the overhead map unreliable) — such rows must record null, while
+    genuine warm-in deltas and exact zeros survive as numbers."""
+    import json
+
+    import bench
+
+    timings = {"warm_in": 5.0, "noisy": 3.0, "flat": 2.0}
+    second = {"warm_in": 3.5, "noisy": 9.252, "flat": 2.0}
+    out = bench.overhead_map(timings, second)
+    assert out == {"warm_in": 1.5, "noisy": None, "flat": 0.0}
+    json.dumps(out)  # null must survive serialization
+
+
 def test_ab_isolated_rejects_nonpositive_repeat():
     """--repeat 0 (or negative) must exit 2 with usage, not print a
     misleading JSON line with empty timing lists (r11 advice)."""

@@ -47,7 +47,12 @@ KEYS = (
 )
 
 
-@pytest.fixture(scope="module")
+# Function-scoped on purpose: other tests in this module (the timezone
+# checks below) drive the entry wrapper's tune(), which re-tunes the
+# SHARED session. A module-scoped set-once fixture would let a de-tuned
+# test silently run on a tuned session under non-default ordering
+# (pytest-xdist, --random-order); re-applying per test closes that.
+@pytest.fixture()
 def detuned_spark(spark):
     saved = {k: spark.conf.get(k) for k in DETUNED}
     for k, v in DETUNED.items():
@@ -74,6 +79,11 @@ def test_keys_are_registered():
 
 @pytest.mark.parametrize("name", KEYS)
 def test_detuned_session_matches_oracle(detuned_spark, duck, name):
+    # Guard against vacuous passes: the session must actually BE de-tuned
+    # at execution time, not merely have been de-tuned once per module.
+    retuned = {k: detuned_spark.conf.get(k) for k in DETUNED
+               if detuned_spark.conf.get(k) != DETUNED[k]}
+    assert not retuned, f"session was re-tuned out from under the guard: {retuned}"
     spec = registry.all_specs()[name]
     sdf = spec.builder(detuned_spark, SF).toPandas()
     if spec.oracle is None:
