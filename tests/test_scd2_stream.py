@@ -58,7 +58,7 @@ def test_streamed_store_intervals_tile_per_user(spark):
             assert prev.status != nxt.status
 
 
-def test_fold_is_slicing_invariant_on_random_streams(spark):
+def test_fold_is_slicing_invariant_on_random_streams_hypothesis(spark):
     """Property (hypothesis): folding ANY chronological slicing of an
     event stream — including the degenerate 1-slice and the
     max-slices-per-distinct-ts cuts — produces the same SCD2 store as

@@ -215,7 +215,7 @@ def test_anomaly_mad_windows_are_bin_sized(spark):
     ), plan
 
 
-def test_anomaly_mad_cents_form_on_random_2dp_corpora(spark, tmp_path):
+def test_anomaly_mad_cents_form_on_random_2dp_corpora_hypothesis(spark, tmp_path):
     """Property test (hypothesis): on ANY 2dp-quantized corpus the
     cents-binned form must agree with the naive per-row lower-median/MAD
     reference — heavy ties, single-row groups, and multi-type splits
