@@ -1,0 +1,142 @@
+"""Executable floor-table triage for a bench sweep record.
+
+The round-over-round triage rule (PROGRESS.md rounds 11-14, judge-
+adjudicated): a sweep row above its pinned isolated-warm floor needs NO
+code change when the excess matches the JIT-warm-in signature (untimed
+rerun back at the floor) or the host-contention signature (everything
+slow uniformly, total outside the 251-322s same-code band). Only a row
+whose STEADY state (rerun, or isolated ab_isolated re-time) sits above
+its floor is a plan-regression candidate.
+
+This script turns that prose rule into one command over the sweep
+artifact: for every row with a pinned floor it compares the steady
+reading (second_run_s when the row was in the rerun pass, else the
+timed entry) against floor x TOLERANCE + ABS_SLACK and prints a verdict;
+heavy rows with no pinned floor are listed as pin candidates. Exit 1
+only when a floored row's steady reading breaches the band - the signal
+that an `ab_isolated.py --repeat 3` confirmation (and only then a plan
+look) is warranted.
+
+Floors are isolated-warm seconds at sf0.1 (fresh JVM, bench-identical
+warmup), pinned via scripts/ab_isolated.py across rounds 11-14 - the
+provenance for each value is the floor tables in PROGRESS.md. A floor
+is a characterization, not a promise: re-pin it (and edit here) if the
+operator's plan deliberately changes.
+
+Usage: python scripts/floor_check.py [bench_full.json] [--top N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+# Pinned isolated-warm floors at sf0.1, seconds (PROGRESS.md rounds
+# 11-14 ab_isolated tables). Streaming rows adjudicated intrinsic get
+# their measured steady drain cost as the floor.
+FLOORS = {
+    "agg_distinct": 1.15,
+    "agg_distinct_exact_vs_approx": 0.5,
+    "basket_part_pairs": 1.8,
+    "dedup_clusters": 2.6,
+    "dedup_embedding_cosine": 2.0,
+    "dedup_semantic_kmeans": 2.4,
+    "dedup_simhash": 1.9,
+    "er_resolve_parts": 2.1,
+    "graph_bfs_distance": 2.0,
+    "graph_pagerank": 3.0,
+    "graph_triangle_count": 2.5,
+    "join_aqe_skew": 1.7,
+    "join_bucketed_colocated": 2.0,
+    "merge_tx_cdf_to_scd2": 1.0,
+    "merge_tx_pruned_read": 2.1,
+    "ml_als_recommend": 2.4,
+    "ml_classifier_eval": 1.6,
+    "pandas_api_pipeline": 1.4,
+    "queue_estimate_ml": 2.1,
+    "stream_late_data_drop_true": 2.5,
+    "stream_python_datasource_true": 3.5,
+    "stream_scd2_dimension_true": 4.8,
+    "stream_txn_multi_table_true": 2.8,
+    "text_url_canonical_dedup": 0.9,
+    "udaf_grouped_stats": 0.7,
+}
+
+# A steady reading inside floor*TOLERANCE + ABS_SLACK is in-band - the
+# same ">1.5x with >0.5s absolute" mover convention the verdicts use.
+TOLERANCE = 1.5
+ABS_SLACK = 0.5
+
+# Rows at least this heavy (timed, seconds) without a pinned floor are
+# worth pinning so future triage stays a table lookup.
+PIN_CANDIDATE_S = 2.0
+
+
+def triage(record: dict, top: int = 20) -> tuple[list, list]:
+    """Return (breaches, pin_candidates) for the record's slowest rows.
+
+    breaches: (name, timed, steady, floor) where steady > band.
+    pin_candidates: (name, timed) heavy rows with no floor entry.
+    """
+    timings = record["queries"]
+    second = record.get("second_run_s", {})
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:top]
+    breaches, candidates = [], []
+    for name, timed in slowest:
+        floor = FLOORS.get(name)
+        if floor is None:
+            if timed >= PIN_CANDIDATE_S:
+                candidates.append((name, timed))
+            continue
+        steady = second.get(name, timed)
+        band = floor * TOLERANCE + ABS_SLACK
+        if steady > band:
+            breaches.append((name, timed, steady, floor))
+    return breaches, candidates
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    top = 20
+    if "--top" in argv:
+        top = int(argv[argv.index("--top") + 1])
+        args = [a for a in args if a != str(top)]
+    path = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_full.json",
+    )
+    record = json.load(open(path))
+    if record.get("sf") != 0.1:
+        print(f"note: floors are pinned at sf0.1; this record is sf={record.get('sf')}"
+              " - verdicts below are not meaningful at other scales")
+    breaches, candidates = triage(record, top)
+
+    second = record.get("second_run_s", {})
+    for name, timed in sorted(record["queries"].items(), key=lambda kv: -kv[1])[:top]:
+        floor = FLOORS.get(name)
+        steady = second.get(name)
+        tag = "BREACH" if any(b[0] == name for b in breaches) else (
+            "pin?  " if any(c[0] == name for c in candidates) else "ok    ")
+        s_steady = f"{steady:5.2f}" if steady is not None else "  -  "
+        s_floor = f"{floor:4.1f}" if floor is not None else "  - "
+        print(f"{tag} {name:38s} timed {timed:6.2f}  steady {s_steady}  floor {s_floor}")
+
+    if candidates:
+        print("\npin candidates (heavy, no floor - run"
+              " scripts/ab_isolated.py --repeat 3 <key> and add here):")
+        for name, timed in candidates:
+            print(f"  {name} ({timed:.2f}s)")
+    if breaches:
+        print("\nBREACHES (steady above floor band - confirm with"
+              " ab_isolated before any plan change):")
+        for name, timed, steady, floor in breaches:
+            print(f"  {name}: steady {steady:.2f}s vs floor {floor:.1f}s"
+                  f" (band {floor * TOLERANCE + ABS_SLACK:.2f}s)")
+        return 1
+    print(f"\nfloor check: {min(top, len(record['queries']))} slowest rows, 0 breaches")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -243,3 +243,28 @@ def test_settle_respects_deadline():
     t0 = time.perf_counter()
     benchwarm.settle(read, (0, 0), expect_events=True, deadline_s=0.1, tick_s=0.01)
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_floor_check_triage_classifies_rows():
+    """floor_check.triage is the executable form of the sweep-triage
+    rule: a floored row breaches only when its STEADY reading (rerun if
+    present, else timed) exceeds floor*1.5+0.5; heavy unfloored rows are
+    pin candidates; a warm-in row (heavy timed, at-floor rerun) is ok."""
+    from scripts.floor_check import FLOORS, triage
+
+    record = {
+        "queries": {
+            "dedup_clusters": 6.5,        # heavy timed...
+            "graph_pagerank": 9.9,        # breach: steady way above floor
+            "mystery_heavy_op": 3.3,      # no floor -> pin candidate
+            "tpch_q1": 0.4,               # light, no floor -> ignored
+        },
+        "second_run_s": {
+            "dedup_clusters": 2.7,        # ...but rerun at floor: warm-in, ok
+            "graph_pagerank": 9.8,
+        },
+    }
+    assert "dedup_clusters" in FLOORS and "graph_pagerank" in FLOORS
+    breaches, candidates = triage(record, top=20)
+    assert [b[0] for b in breaches] == ["graph_pagerank"]
+    assert [c[0] for c in candidates] == ["mystery_heavy_op"]
