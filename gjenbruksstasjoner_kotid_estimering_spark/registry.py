@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r7 (3 keys) ---
-    "txn_multi_table_atomic",
-    "udf_arrow_scalar",
-    "udtf_table_arg_topk",
-    # --- newest driver evidence r8 (50 keys) ---
-    "agg_approx_quantile",
-    "agg_histogram",
-    "agg_hll_sketch",
-    "agg_median_mode",
-    "agg_percentiles",
-    "agg_salted_skew",
-    "array_funcs",
-    "array_predicates",
-    "asof_interp_join",
-    "date_arith",
-    "decimal_cast",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_substring_spans",
-    "dedup_fingerprint",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "explode_unpivot",
-    "join_asof_nearest",
-    "join_lateral",
-    "join_salted_skew",
-    "json_extract",
-    "json_struct_parse",
-    "map_funcs",
-    "null_funcs",
-    "queue_estimate",
-    "regex_extract_timestamp",
-    "set_intersect_except",
-    "set_union",
-    "set_union_all",
-    "similarity_pairs_lsh",
-    "similarity_topk",
-    "sort_multi",
-    "stream_tumbling_window",
-    "string_funcs2",
-    "struct_map_funcs",
-    "subquery_correlated_scalar",
-    "subquery_exists",
-    "text_exact_substring_rewrite",
-    "timeseries_resample_ohlc",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q5",
+    # --- newest driver evidence r8 (3 keys) ---
     "tpch_q6",
     "try_funcs",
     "window_time_range_rolling",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "udf_pandas_grouped_agg",
     "window_cume_dist_deciles",
     "window_running_median_exact",
+    # --- newest driver evidence r14 (50 keys) ---
+    "agg_approx_quantile",
+    "agg_histogram",
+    "agg_hll_sketch",
+    "agg_median_mode",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "array_funcs",
+    "array_predicates",
+    "asof_interp_join",
+    "date_arith",
+    "decimal_cast",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_substring_spans",
+    "dedup_fingerprint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "explode_unpivot",
+    "join_asof_nearest",
+    "join_lateral",
+    "join_salted_skew",
+    "json_extract",
+    "json_struct_parse",
+    "map_funcs",
+    "null_funcs",
+    "queue_estimate",
+    "regex_extract_timestamp",
+    "set_intersect_except",
+    "set_union",
+    "set_union_all",
+    "similarity_pairs_lsh",
+    "similarity_topk",
+    "sort_multi",
+    "stream_tumbling_window",
+    "string_funcs2",
+    "struct_map_funcs",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "text_exact_substring_rewrite",
+    "timeseries_resample_ohlc",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "txn_multi_table_atomic",
+    "udf_arrow_scalar",
+    "udtf_table_arg_topk",
 )
 
 
