@@ -49,13 +49,39 @@ def main() -> int:
         if len(cohort) > 60:
             print(f"  ... and {len(cohort) - 60} more")
 
-        head = keys[: len(cohort)]
+        # The rotation contract places never-sampled keys at the very
+        # head (zero evidence beats stale evidence), so the stalest
+        # cohort legitimately sits AFTER them (r14 advice).
+        misplaced_never = [k for k in never if k not in keys[: len(never)]]
+        if misplaced_never:
+            print(f"\nWARNING: {len(misplaced_never)} never-sampled keys are"
+                  f" NOT at the _PRIORITY head (rotation due?):"
+                  f" {misplaced_never[:10]}")
+            return 1
+        head = keys[: len(never) + len(cohort)]
         off_head = [k for k in cohort if k not in head]
         if off_head:
             print(f"\nWARNING: {len(off_head)} stalest keys are NOT at the"
                   f" _PRIORITY head (rotation due?): {off_head[:10]}")
             return 1
         print("\n_PRIORITY head leads with the full stalest cohort — rotation ok")
+
+        # Copy-paste check for NEXT round's rotation commit (r14 verdict
+        # item 8): assuming the driver samples the head-SAMPLE_N keys
+        # this round, the following cohort becomes the stalest and must
+        # lead the next rotation.
+        SAMPLE_N = 50
+        sampled = set(keys[:SAMPLE_N]) | set(never)
+        remaining = {k: r for k, r in rounds.items() if k not in sampled}
+        if remaining:
+            nxt = min(remaining.values())
+            nxt_cohort = sorted(k for k, r in remaining.items() if r == nxt)
+            print(f"\nexpected next-round head (post-sweep stalest, r{nxt}):"
+                  f" {len(nxt_cohort)} keys")
+            for k in nxt_cohort[:10]:
+                print(f"  {k}")
+            if len(nxt_cohort) > 10:
+                print(f"  ... and {len(nxt_cohort) - 10} more")
     return 0
 
 

@@ -23,11 +23,17 @@ provenance for each value is the floor tables in PROGRESS.md. A floor
 is a characterization, not a promise: re-pin it (and edit here) if the
 operator's plan deliberately changes.
 
+Accepts both the builder's bench_full.json and the driver's
+BENCH_rNN.json sidecar (whose payload sits under a "parsed" wrapper
+with no second_run_s - those rows triage under the timed-only
+warm-in allowance).
+
 Usage: python scripts/floor_check.py [bench_full.json] [--top N]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -56,7 +62,10 @@ FLOORS = {
     "ml_als_recommend": 2.4,
     "ml_classifier_eval": 1.6,
     "pandas_api_pipeline": 1.4,
+    "profile_columns": 1.4,
     "queue_estimate_ml": 2.1,
+    "similarity_topk_ivf": 2.0,
+    "stream_stateful_tracker": 1.7,
     "stream_error_followup_join": 2.7,
     "stream_late_data_drop_true": 2.5,
     "stream_python_datasource_true": 3.5,
@@ -86,20 +95,22 @@ PIN_CANDIDATE_S = 2.0
 
 
 def triage(record: dict, top: int = 20) -> tuple[list, list]:
-    """Return (breaches, pin_candidates) for the record's slowest rows.
+    """Return (breaches, pin_candidates) for the record.
 
-    breaches: (name, timed, steady, floor) where steady > band.
-    pin_candidates: (name, timed) heavy rows with no floor entry.
+    breaches: (name, timed, steady, floor) where steady > band - scanned
+    over EVERY pinned floor present in the record, not just the top-N
+    display slice, so a small-floor row regressing several-fold (e.g. a
+    0.5s floor drifting to ~2s steady) cannot hide below the slowest-N
+    cut (r14 advice). pin_candidates: (name, timed) heavy rows with no
+    floor entry - a top-N concern, since only heavy rows are worth a
+    floor.
     """
     timings = record["queries"]
     second = record.get("second_run_s", {})
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:top]
     breaches, candidates = [], []
-    for name, timed in slowest:
+    for name, timed in timings.items():
         floor = FLOORS.get(name)
         if floor is None:
-            if timed >= PIN_CANDIDATE_S:
-                candidates.append((name, timed))
             continue
         steady = second.get(name)
         band = floor * TOLERANCE + ABS_SLACK
@@ -108,20 +119,27 @@ def triage(record: dict, top: int = 20) -> tuple[list, list]:
                 breaches.append((name, timed, timed, floor))
         elif steady > band:
             breaches.append((name, timed, steady, floor))
+    breaches.sort(key=lambda b: -b[1])
+    for name, timed in sorted(timings.items(), key=lambda kv: -kv[1])[:top]:
+        if name not in FLOORS and timed >= PIN_CANDIDATE_S:
+            candidates.append((name, timed))
     return breaches, candidates
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    top = 20
-    if "--top" in argv:
-        top = int(argv[argv.index("--top") + 1])
-        args = [a for a in args if a != str(top)]
-    path = args[0] if args else os.path.join(
+    parser = argparse.ArgumentParser(
+        description="Floor-band triage over a bench sweep record.")
+    parser.add_argument("path", nargs="?", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_full.json",
-    )
-    record = json.load(open(path))
+    ), help="bench_full.json or a driver BENCH_rNN.json sidecar")
+    parser.add_argument("--top", type=int, default=20,
+                        help="slowest-N rows to display (breach scan is always all floors)")
+    ns = parser.parse_args(argv)
+    top = ns.top
+    record = json.load(open(ns.path))
+    # Driver sidecars wrap the bench line under "parsed" (no second_run_s).
+    record = record.get("parsed", record)
     if record.get("sf") != 0.1:
         print(f"note: floors are pinned at sf0.1; this record is sf={record.get('sf')}"
               " - verdicts below are not meaningful at other scales")

@@ -78,8 +78,11 @@ def main() -> int:
     # getOrCreate() silently IGNORES builder configs when a session already
     # exists in the process — a pre-existing tuned session would make this
     # "de-tuned" sweep report a misleading green. Runtime-settable knobs can
-    # be re-applied; verify every one actually holds before sweeping.
-    for k, v in DETUNED_CONFS.items():
+    # be re-applied; verify every one actually holds before sweeping. The
+    # SEMANTIC confs (timezone, arrow flags, nanosAsLong) are equally
+    # swallowed by a pre-existing session and equally runtime-settable, so
+    # they go through the same re-apply-and-verify loop (r14 advice).
+    for k, v in {**DETUNED_CONFS, **SEMANTIC_CONFS}.items():
         spark.conf.set(k, v)
         got = spark.conf.get(k)
         if got != v:
