@@ -287,3 +287,50 @@ def test_floor_check_timed_only_rows_get_warmin_allowance():
     }
     breaches, _ = triage(record, top=20)
     assert [b[0] for b in breaches] == ["graph_pagerank"]
+
+
+def test_floor_check_breach_scan_covers_floors_below_topn():
+    """The breach scan walks EVERY pinned floor in the record, not just
+    the slowest-N display slice (r14 advice): a small-floor row that
+    regresses several-fold (udtf_polymorphic_split 0.5s floor drifting
+    to ~2s STEADY) must breach even when dozens of heavier rows push it
+    out of the top-N."""
+    from scripts.floor_check import triage
+
+    record = {
+        "queries": {
+            **{f"heavy_unfloored_{i}": 50.0 - i for i in range(10)},
+            "udtf_polymorphic_split": 2.1,   # floor 0.5, band 1.25
+        },
+        "second_run_s": {"udtf_polymorphic_split": 2.0},  # steady breach
+    }
+    breaches, candidates = triage(record, top=3)
+    assert [b[0] for b in breaches] == ["udtf_polymorphic_split"]
+    # pin candidates stay a top-N display concern
+    assert len(candidates) == 3
+
+
+def test_floor_check_main_unwraps_driver_sidecar(tmp_path, capsys):
+    """floor_check accepts the driver's BENCH_rNN.json wrapper (payload
+    under 'parsed', no second_run_s -> timed-only allowance applies)."""
+    import json
+
+    from scripts.floor_check import main
+
+    sidecar = {
+        "n": 15,
+        "rc": 0,
+        "sf": 0.1,
+        "parsed": {
+            "metric": "sweep_total",
+            "value": 9.9,
+            "sf": 0.1,
+            "queries": {"graph_pagerank": 3.2, "tpch_q1": 0.4},
+        },
+    }
+    path = tmp_path / "BENCH_r99.json"
+    path.write_text(json.dumps(sidecar))
+    rc = main([str(path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "graph_pagerank" in out and "0 breaches" in out
