@@ -66,6 +66,7 @@ FLOORS = {
     "queue_estimate_ml": 2.1,
     "similarity_topk_ivf": 2.0,
     "stream_stateful_tracker": 1.7,
+    "stream_union_sources_true": 2.2,
     "stream_error_followup_join": 2.7,
     "stream_late_data_drop_true": 2.5,
     "stream_python_datasource_true": 3.5,
