@@ -73,6 +73,7 @@ FLOORS = {
     "stream_scd2_dimension_true": 4.8,
     "stream_txn_multi_table_true": 2.8,
     "text_url_canonical_dedup": 0.9,
+    "text_vocab_encode": 1.5,
     "udaf_grouped_stats": 0.7,
     "udtf_polymorphic_split": 0.5,
 }
