@@ -26,6 +26,33 @@ from gjenbruksstasjoner_kotid_estimering_spark.evidence import newest_evidence
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def head_misplacement(keys: list[str], pins: list[str], never: list[str],
+                      cohort: list[str]) -> tuple[str, list[str]] | None:
+    """First rotation-contract violation in the _PRIORITY head, or None.
+
+    rotate_priority's head order is: active PINNED_REWRITTEN keys
+    (rewritten since their newest evidence), then never-sampled keys
+    (zero evidence beats stale evidence), then the stalest cohort — the
+    checks must account for all three bands or an active pin makes a
+    correctly rotated registry warn (r15 review; never-band handling is
+    r14 advice). Returns (band_label, misplaced_keys) for the first
+    violated band.
+    """
+    misplaced_pins = [k for k in pins if k not in keys[: len(pins)]]
+    if misplaced_pins:
+        return "active pins", misplaced_pins
+    never_np = [k for k in never if k not in pins]
+    never_band = keys[len(pins): len(pins) + len(never_np)]
+    misplaced_never = [k for k in never_np if k not in never_band]
+    if misplaced_never:
+        return "never-sampled keys", misplaced_never
+    head = keys[: len(pins) + len(never_np) + len(cohort)]
+    off_head = [k for k in cohort if k not in head]
+    if off_head:
+        return "stalest keys", off_head
+    return None
+
+
 def main() -> int:
     evidence = newest_evidence(REPO)
     keys = list(registry.all_specs())
@@ -49,39 +76,45 @@ def main() -> int:
         if len(cohort) > 60:
             print(f"  ... and {len(cohort) - 60} more")
 
-        # The rotation contract places never-sampled keys at the very
-        # head (zero evidence beats stale evidence), so the stalest
-        # cohort legitimately sits AFTER them (r14 advice).
-        misplaced_never = [k for k in never if k not in keys[: len(never)]]
-        if misplaced_never:
-            print(f"\nWARNING: {len(misplaced_never)} never-sampled keys are"
-                  f" NOT at the _PRIORITY head (rotation due?):"
-                  f" {misplaced_never[:10]}")
-            return 1
-        head = keys[: len(never) + len(cohort)]
-        off_head = [k for k in cohort if k not in head]
-        if off_head:
-            print(f"\nWARNING: {len(off_head)} stalest keys are NOT at the"
-                  f" _PRIORITY head (rotation due?): {off_head[:10]}")
+        from scripts.rotate_priority import PINNED_REWRITTEN, active_pin_keys
+
+        pinned = tuple((k, r) for k, r in PINNED_REWRITTEN if k in keys)
+        pins = active_pin_keys(pinned, evidence)
+        violation = head_misplacement(keys, pins, never, cohort)
+        if violation:
+            label, misplaced = violation
+            print(f"\nWARNING: {len(misplaced)} {label} are NOT at the"
+                  f" _PRIORITY head (rotation due?): {misplaced[:10]}")
             return 1
         print("\n_PRIORITY head leads with the full stalest cohort — rotation ok")
 
         # Copy-paste check for NEXT round's rotation commit (r14 verdict
         # item 8): assuming the driver samples the head-SAMPLE_N keys
-        # this round, the following cohort becomes the stalest and must
-        # lead the next rotation.
+        # this round, whatever follows becomes the stalest and must lead
+        # the next rotation — still-unsampled never keys first if the
+        # never band outruns the sample, else the next-oldest cohort.
         SAMPLE_N = 50
-        sampled = set(keys[:SAMPLE_N]) | set(never)
-        remaining = {k: r for k, r in rounds.items() if k not in sampled}
-        if remaining:
-            nxt = min(remaining.values())
-            nxt_cohort = sorted(k for k, r in remaining.items() if r == nxt)
-            print(f"\nexpected next-round head (post-sweep stalest, r{nxt}):"
-                  f" {len(nxt_cohort)} keys")
-            for k in nxt_cohort[:10]:
+        sampled = set(keys[:SAMPLE_N])
+        rem_never = [k for k in keys if k in set(never) and k not in sampled]
+        if rem_never:
+            print(f"\nexpected next-round head: {len(rem_never)}"
+                  " still-never-sampled keys lead")
+            for k in rem_never[:10]:
                 print(f"  {k}")
-            if len(nxt_cohort) > 10:
-                print(f"  ... and {len(nxt_cohort) - 10} more")
+            if len(rem_never) > 10:
+                print(f"  ... and {len(rem_never) - 10} more")
+        else:
+            remaining = {k: r for k, r in rounds.items() if k not in sampled}
+            if remaining:
+                nxt = min(remaining.values())
+                nxt_cohort = sorted(
+                    k for k, r in remaining.items() if r == nxt)
+                print(f"\nexpected next-round head (post-sweep stalest,"
+                      f" r{nxt}): {len(nxt_cohort)} keys")
+                for k in nxt_cohort[:10]:
+                    print(f"  {k}")
+                if len(nxt_cohort) > 10:
+                    print(f"  ... and {len(nxt_cohort) - 10} more")
     return 0
 
 

@@ -141,7 +141,14 @@ def main(argv: list[str]) -> int:
     top = ns.top
     record = json.load(open(ns.path))
     # Driver sidecars wrap the bench line under "parsed" (no second_run_s).
-    record = record.get("parsed", record)
+    # A failed/unparsed bench run writes "parsed": null (rc != 0 sidecars,
+    # e.g. BENCH_r01.json) - report that cleanly instead of crashing.
+    if "parsed" in record:
+        record = record["parsed"]
+        if not record:
+            print(f"{ns.path}: sidecar has no parsed bench payload"
+                  " (failed or unparsed run) - nothing to triage")
+            return 2
     if record.get("sf") != 0.1:
         print(f"note: floors are pinned at sf0.1; this record is sf={record.get('sf')}"
               " - verdicts below are not meaningful at other scales")
@@ -169,7 +176,9 @@ def main(argv: list[str]) -> int:
             print(f"  {name}: steady {steady:.2f}s vs floor {floor:.1f}s"
                   f" (band {floor * TOLERANCE + ABS_SLACK:.2f}s)")
         return 1
-    print(f"\nfloor check: {min(top, len(record['queries']))} slowest rows, 0 breaches")
+    scanned = sum(1 for n in record["queries"] if n in FLOORS)
+    print(f"\nfloor check: {scanned} pinned floors scanned, slowest"
+          f" {min(top, len(record['queries']))} rows displayed, 0 breaches")
     return 0
 
 

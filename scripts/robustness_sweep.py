@@ -58,6 +58,10 @@ SEMANTIC_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# One merge site for both the builder loop and the re-apply/verify loop -
+# a conf added to one but not the other would silently escape the guard.
+ALL_CONFS = {**DETUNED_CONFS, **SEMANTIC_CONFS}
+
 
 def main() -> int:
     from pyspark.sql import SparkSession
@@ -69,7 +73,7 @@ def main() -> int:
     builder = SparkSession.builder.master("local[8]").appName(
         "robustness-sweep"
     )
-    for k, v in {**DETUNED_CONFS, **SEMANTIC_CONFS}.items():
+    for k, v in ALL_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.config(
         "spark.ui.showConsoleProgress", "false"
@@ -82,7 +86,7 @@ def main() -> int:
     # SEMANTIC confs (timezone, arrow flags, nanosAsLong) are equally
     # swallowed by a pre-existing session and equally runtime-settable, so
     # they go through the same re-apply-and-verify loop (r14 advice).
-    for k, v in {**DETUNED_CONFS, **SEMANTIC_CONFS}.items():
+    for k, v in ALL_CONFS.items():
         spark.conf.set(k, v)
         got = spark.conf.get(k)
         if got != v:

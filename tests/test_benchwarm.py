@@ -334,3 +334,36 @@ def test_floor_check_main_unwraps_driver_sidecar(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "graph_pagerank" in out and "0 breaches" in out
+
+
+def test_evidence_head_check_accounts_for_pins_and_never_band():
+    """The _PRIORITY head order is pins -> never-sampled -> stalest
+    cohort (rotate_priority.build_block); evidence_report's head check
+    must accept that exact layout and flag each band's violation (r15
+    review: an active pin previously made a correct rotation warn)."""
+    from scripts.evidence_report import head_misplacement
+
+    pins, never, cohort = ["p1"], ["n1", "n2"], ["s1", "s2"]
+    good = ["p1", "n1", "n2", "s1", "s2", "old1", "old2"]
+    assert head_misplacement(good, pins, never, cohort) is None
+
+    # cohort pushed out of the head by fresher keys -> stalest flagged
+    bad_cohort = ["p1", "n1", "n2", "old1", "old2", "s1", "s2"]
+    label, misplaced = head_misplacement(bad_cohort, pins, never, cohort)
+    assert label == "stalest keys" and misplaced == ["s1", "s2"]
+
+    # never band displaced: keys[1:3] is ["old1", "n1"], so n2 sits
+    # outside the positional band -> never flagged before the cohort check
+    bad_never = ["p1", "old1", "n1", "n2", "s1", "s2", "old2"]
+    label, misplaced = head_misplacement(bad_never, pins, never, cohort)
+    assert label == "never-sampled keys" and misplaced == ["n2"]
+
+    # pin not at the very head -> pins flagged first
+    bad_pin = ["n1", "p1", "n2", "s1", "s2", "old1", "old2"]
+    label, misplaced = head_misplacement(bad_pin, pins, never, cohort)
+    assert label == "active pins" and misplaced == ["p1"]
+
+    # a pinned key that is ALSO never-sampled counts once, in the pin band
+    both = head_misplacement(["p1", "n2", "s1", "s2"], ["p1"], ["p1", "n2"],
+                             ["s1", "s2"])
+    assert both is None
