@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r8 (3 keys) ---
-    "tpch_q6",
-    "try_funcs",
-    "window_time_range_rolling",
-    # --- newest driver evidence r9 (50 keys) ---
-    "agg_bitwise",
-    "array_funcs2",
-    "corpus_mixture_weights",
-    "corpus_to_shards_pipeline",
-    "dedup_incremental",
-    "dedup_semantic_kmeans",
-    "dedup_time_bounded",
-    "doc_pack_sequences",
-    "embedding_centroids",
-    "explode_outer_slices",
-    "graph_pagerank",
-    "join_asof_tolerance",
-    "join_interval_events",
-    "join_null_safe",
-    "json_variant_get",
-    "map_hof_funcs",
-    "ml_classifier_eval",
-    "queue_estimate_ml",
-    "sample_stratified_exact",
-    "scd2_intervals",
-    "session_window_agg",
-    "sessionize_gaps",
-    "similarity_knn_join",
-    "similarity_topk_ivf",
-    "stream_sliding_window",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_tfidf",
-    "text_tfidf_exact",
-    "text_vocab_encode",
-    "timeseries_gapfill",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "udaf_grouped_stats",
-    "udtf_bigrams",
-    "upsert_last_write_wins",
-    "upsert_sink_shape",
-    "window_first_last_nth",
-    "window_frame_agg",
-    "window_lag_lead",
-    "window_ntile",
+    # --- newest driver evidence r9 (3 keys) ---
     "window_percent_rank",
     "window_range_frame",
     "window_rank",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "txn_multi_table_atomic",
     "udf_arrow_scalar",
     "udtf_table_arg_topk",
+    # --- newest driver evidence r15 (50 keys) ---
+    "agg_bitwise",
+    "array_funcs2",
+    "corpus_mixture_weights",
+    "corpus_to_shards_pipeline",
+    "dedup_incremental",
+    "dedup_semantic_kmeans",
+    "dedup_time_bounded",
+    "doc_pack_sequences",
+    "embedding_centroids",
+    "explode_outer_slices",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_interval_events",
+    "join_null_safe",
+    "json_variant_get",
+    "map_hof_funcs",
+    "ml_classifier_eval",
+    "queue_estimate_ml",
+    "sample_stratified_exact",
+    "scd2_intervals",
+    "session_window_agg",
+    "sessionize_gaps",
+    "similarity_knn_join",
+    "similarity_topk_ivf",
+    "stream_sliding_window",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_tfidf_exact",
+    "text_vocab_encode",
+    "timeseries_gapfill",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q6",
+    "try_funcs",
+    "udaf_grouped_stats",
+    "udtf_bigrams",
+    "upsert_last_write_wins",
+    "upsert_sink_shape",
+    "window_first_last_nth",
+    "window_frame_agg",
+    "window_lag_lead",
+    "window_ntile",
+    "window_time_range_rolling",
 )
 
 
