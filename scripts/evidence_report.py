@@ -46,7 +46,11 @@ def head_misplacement(keys: list[str], pins: list[str], never: list[str],
     misplaced_never = [k for k in never_np if k not in never_band]
     if misplaced_never:
         return "never-sampled keys", misplaced_never
-    head = keys[: len(pins) + len(never_np) + len(cohort)]
+    # A cohort key that is ALSO pinned already sits in the pins band —
+    # dedup it from the window width or the head widens by one and a
+    # fresher key could hide inside it (r15 advice).
+    cohort_np = [k for k in cohort if k not in pins]
+    head = keys[: len(pins) + len(never_np) + len(cohort_np)]
     off_head = [k for k in cohort if k not in head]
     if off_head:
         return "stalest keys", off_head
@@ -89,15 +93,19 @@ def main() -> int:
         print("\n_PRIORITY head leads with the full stalest cohort — rotation ok")
 
         # Copy-paste check for NEXT round's rotation commit (r14 verdict
-        # item 8): assuming the driver samples the head-SAMPLE_N keys
-        # this round, whatever follows becomes the stalest and must lead
-        # the next rotation — still-unsampled never keys first if the
-        # never band outruns the sample, else the next-oldest cohort.
-        SAMPLE_N = 50
-        sampled = set(keys[:SAMPLE_N])
+        # item 8): assuming the driver samples the head-N keys this
+        # round, whatever follows becomes the stalest and must lead the
+        # next rotation — still-unsampled never keys first if the never
+        # band outruns the sample, else the next-oldest cohort. The
+        # budget is the single shared constant in rotate_priority (r15
+        # advice: a drifting driver budget must not silently skew this).
+        from scripts.rotate_priority import DRIVER_SAMPLE_N
+
+        sampled = set(keys[:DRIVER_SAMPLE_N])
         rem_never = [k for k in keys if k in set(never) and k not in sampled]
         if rem_never:
-            print(f"\nexpected next-round head: {len(rem_never)}"
+            print(f"\nexpected next-round head (assuming a "
+                  f"{DRIVER_SAMPLE_N}-key sample): {len(rem_never)}"
                   " still-never-sampled keys lead")
             for k in rem_never[:10]:
                 print(f"  {k}")
@@ -110,7 +118,8 @@ def main() -> int:
                 nxt_cohort = sorted(
                     k for k, r in remaining.items() if r == nxt)
                 print(f"\nexpected next-round head (post-sweep stalest,"
-                      f" r{nxt}): {len(nxt_cohort)} keys")
+                      f" r{nxt}, assuming a {DRIVER_SAMPLE_N}-key"
+                      f" sample): {len(nxt_cohort)} keys")
                 for k in nxt_cohort[:10]:
                     print(f"  {k}")
                 if len(nxt_cohort) > 10:

@@ -142,15 +142,21 @@ def main(argv: list[str]) -> int:
     record = json.load(open(ns.path))
     # Driver sidecars wrap the bench line under "parsed" (no second_run_s).
     # A failed/unparsed bench run writes "parsed": null (rc != 0 sidecars,
-    # e.g. BENCH_r01.json) - report that cleanly instead of crashing.
+    # e.g. BENCH_r01.json); a truthy payload missing "queries" is equally
+    # untriageable - report both cleanly instead of crashing (r15 advice).
+    # Some sidecar envelopes carry sf only at the wrapper level, so read
+    # it before unwrapping and let the payload's own sf override.
+    sf = record.get("sf")
     if "parsed" in record:
         record = record["parsed"]
-        if not record:
-            print(f"{ns.path}: sidecar has no parsed bench payload"
-                  " (failed or unparsed run) - nothing to triage")
+        if not record or "queries" not in record:
+            print(f"{ns.path}: sidecar has no parsed bench payload with"
+                  " queries (failed or unparsed run) - nothing to triage")
             return 2
-    if record.get("sf") != 0.1:
-        print(f"note: floors are pinned at sf0.1; this record is sf={record.get('sf')}"
+        if record.get("sf") is not None:
+            sf = record.get("sf")
+    if sf != 0.1:
+        print(f"note: floors are pinned at sf0.1; this record is sf={sf}"
               " - verdicts below are not meaningful at other scales")
     breaches, candidates = triage(record, top)
 

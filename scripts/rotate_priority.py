@@ -46,6 +46,13 @@ import sys
 # post-evidence rewrite.)
 PINNED_REWRITTEN: tuple[tuple[str, int], ...] = ()
 
+# The driver's per-round correctness sample budget (keys per sweep,
+# observed stable at 50 across CORRECTNESS_r02..r15). Single source of
+# truth — evidence_report's next-round-head prediction imports it so a
+# drifting budget is a one-line edit here, not a silent skew there
+# (r15 advice).
+DRIVER_SAMPLE_N = 50
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REGISTRY_PY = os.path.join(
     REPO, "gjenbruksstasjoner_kotid_estimering_spark", "registry.py"

@@ -336,6 +336,46 @@ def test_floor_check_main_unwraps_driver_sidecar(tmp_path, capsys):
     assert "graph_pagerank" in out and "0 breaches" in out
 
 
+def test_floor_check_sidecar_payload_without_queries_is_rc2(tmp_path, capsys):
+    """A truthy parsed payload MISSING 'queries' is as untriageable as
+    'parsed': null — rc 2 with the clean message, not a KeyError (r15
+    advice)."""
+    import json
+
+    from scripts.floor_check import main
+
+    path = tmp_path / "BENCH_r99.json"
+    path.write_text(json.dumps(
+        {"n": 15, "rc": 1, "sf": 0.1, "parsed": {"metric": "sweep_total"}}))
+    rc = main([str(path)])
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "nothing to triage" in out
+
+
+def test_floor_check_sf_falls_back_to_sidecar_wrapper(tmp_path, capsys):
+    """A sidecar carrying sf only in the WRAPPER (payload omits it) must
+    not print the 'not meaningful at other scales' note when the wrapper
+    says sf0.1 (r15 advice)."""
+    import json
+
+    from scripts.floor_check import main
+
+    sidecar = {
+        "n": 15,
+        "rc": 0,
+        "sf": 0.1,
+        "parsed": {"metric": "sweep_total", "value": 1.0,
+                   "queries": {"tpch_q1": 0.4}},
+    }
+    path = tmp_path / "BENCH_r99.json"
+    path.write_text(json.dumps(sidecar))
+    rc = main([str(path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "not meaningful at other scales" not in out
+
+
 def test_evidence_head_check_accounts_for_pins_and_never_band():
     """The _PRIORITY head order is pins -> never-sampled -> stalest
     cohort (rotate_priority.build_block); evidence_report's head check
@@ -367,3 +407,13 @@ def test_evidence_head_check_accounts_for_pins_and_never_band():
     both = head_misplacement(["p1", "n2", "s1", "s2"], ["p1"], ["p1", "n2"],
                              ["s1", "s2"])
     assert both is None
+
+    # a pinned key that is ALSO in the stalest cohort counts once, in the
+    # pin band: the head window must NOT widen by the overlap (r15 advice
+    # — a one-wider window would let a fresher key hide in the head).
+    overlap = head_misplacement(["p1", "n1", "s1", "fresh", "s2"], ["p1"],
+                                ["n1"], ["p1", "s1", "s2"])
+    assert overlap == ("stalest keys", ["s2"])
+    # and the correctly rotated overlap layout passes
+    assert head_misplacement(["p1", "n1", "s1", "s2", "fresh"], ["p1"],
+                             ["n1"], ["p1", "s1", "s2"]) is None
