@@ -141,6 +141,7 @@ def main() -> None:
     # and isolated re-times stay comparable (r11 review: the two warmups
     # drifted apart when duplicated).
     specs = registry.all_specs()
+    ticks0 = benchwarm.cpu_ticks()
     try:
         benchwarm.run_warmup(spark, sf_dir)
         warmup_ok = True
@@ -221,6 +222,7 @@ def main() -> None:
         tag="rerun:",
     )
     first_run_overhead = overhead_map(timings, second_run)
+    cpu_steal = benchwarm.steal_stats(ticks0, benchwarm.cpu_ticks())
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     line = summary_line(timings, errors, warmup_ok, sf_val)
@@ -238,6 +240,7 @@ def main() -> None:
         rerun_errors=rerun_errors,
         second_run_stream_stats=second_run_stream_stats,
         sf_val=sf_val,
+        cpu_steal=cpu_steal,
     )
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(sidecar, "w") as fh:
@@ -275,6 +278,7 @@ def full_sidecar(
     rerun_errors,
     second_run_stream_stats,
     sf_val,
+    cpu_steal=None,
 ) -> dict:
     """The bench_full.json sidecar (schema-pinned in tests/test_benchwarm.py).
 
@@ -328,6 +332,15 @@ def full_sidecar(
         # change means the rerun measured a different drain, not
         # steady-state cost.
         "second_run_stream_stats": second_run_stream_stats,
+        # Hypervisor steal across the whole run (warmup + timed sweep +
+        # rerun pass), from /proc/stat deltas: {steal_ticks, busy_ticks,
+        # steal_of_busy}. The r16 adjudication measured ~25% of non-idle
+        # ticks stolen during an above-band window (quiet r13 host:
+        # 0.45%) — a high steal_of_busy marks the sweep contended BY
+        # MEASUREMENT, so its total must not be read against the
+        # same-code band nor committed as a record. None where
+        # /proc/stat is unavailable.
+        "cpu_steal": cpu_steal,
         "sf": sf_val,
     }
 

@@ -74,6 +74,41 @@ def settle(
         prev = cur
 
 
+def cpu_ticks() -> dict | None:
+    """Aggregate CPU tick counters from /proc/stat's first line, or None
+    where unreadable (non-Linux). ``busy`` excludes idle AND iowait so a
+    steal ratio against it reads "fraction of time the host wanted CPU
+    but the hypervisor gave it to someone else"."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return {"steal": steal, "busy": sum(vals) - idle}
+    except Exception:  # noqa: BLE001 — diagnostics must never break a bench
+        return None
+
+
+def steal_stats(before: dict | None, after: dict | None) -> dict | None:
+    """Hypervisor-steal summary between two cpu_ticks() readings, or None.
+
+    The round-16 adjudication measured ~25% of non-idle ticks stolen
+    during an above-band sweep window (vs 0.45% on the quiet r13 host) —
+    recording the ratio in every bench artifact turns that one-off
+    manual measurement into standing triage evidence: a sweep with a
+    high steal_of_busy is contention BY MEASUREMENT, not by inference
+    from the same-code band."""
+    if not before or not after:
+        return None
+    busy = after["busy"] - before["busy"]
+    steal = after["steal"] - before["steal"]
+    return {
+        "steal_ticks": steal,
+        "busy_ticks": busy,
+        "steal_of_busy": round(steal / busy, 4) if busy > 0 else None,
+    }
+
+
 def run_warmup(spark, sf_dir: str, pyds: bool = True) -> None:
     """Run the fixed warm-up set untimed. ``pyds=False`` skips the Python
     DataSource read/write warm (the A/B arm for prewarm attribution)."""

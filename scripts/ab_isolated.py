@@ -65,6 +65,7 @@ def main() -> int:
         return 2
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ticks0 = benchwarm.cpu_ticks()
     spark = get_spark("ab_isolated")
     # The SAME fixed warm-up bench.py runs (shared module — the two sets
     # drifted apart when duplicated, r11 review): isolated times are only
@@ -82,7 +83,15 @@ def main() -> int:
             df = None
             gc.collect()
         timings[name] = runs
-    print(json.dumps({"queries": timings, "pyds_warm": pyds, "sf_dir": sf_dir}))
+    print(json.dumps({
+        "queries": timings,
+        "pyds_warm": pyds,
+        "sf_dir": sf_dir,
+        # Hypervisor steal across this JVM's lifetime (r16: an A/B taken
+        # inside a steal window reads high without being a regression —
+        # the ratio makes that visible in the artifact itself).
+        "cpu_steal": benchwarm.steal_stats(ticks0, benchwarm.cpu_ticks()),
+    }))
     return 0
 
 

@@ -95,6 +95,11 @@ WARMIN_ALLOWANCE = 2.5
 # worth pinning so future triage stays a table lookup.
 PIN_CANDIDATE_S = 2.0
 
+# A record whose own cpu_steal.steal_of_busy reaches this fraction was
+# measurably contended (quiet r13 host: 0.0045; the r16 above-band
+# window: ~0.25) - print a suspect-breaches note.
+STEAL_NOTE_RATIO = 0.05
+
 
 def triage(record: dict, top: int = 20) -> tuple[list, list]:
     """Return (breaches, pin_candidates) for the record.
@@ -158,6 +163,16 @@ def main(argv: list[str]) -> int:
     if sf != 0.1:
         print(f"note: floors are pinned at sf0.1; this record is sf={sf}"
               " - verdicts below are not meaningful at other scales")
+    # Surface the record's own steal measurement (r16): a sweep taken
+    # under heavy hypervisor steal inflates every row uniformly, so its
+    # breaches need a quiet-host ab_isolated confirmation before they
+    # mean anything. Informational only - rc semantics unchanged.
+    steal = (record.get("cpu_steal") or {}).get("steal_of_busy")
+    if steal is not None and steal >= STEAL_NOTE_RATIO:
+        print(f"note: this record measured cpu steal_of_busy={steal:.1%}"
+              f" (>= {STEAL_NOTE_RATIO:.0%}) - the host was CONTENDED"
+              " during the sweep; treat breaches below as suspect and"
+              " re-confirm on a quiet host")
     breaches, candidates = triage(record, top)
 
     second = record.get("second_run_s", {})

@@ -184,16 +184,71 @@ def test_full_sidecar_schema_is_stable():
         rerun_errors={},
         second_run_stream_stats={"stream_x": {"queries": 1, "microbatches": 4}},
         sf_val=0.1,
+        cpu_steal={"steal_ticks": 10, "busy_ticks": 1000,
+                   "steal_of_busy": 0.01},
     )
     assert set(full) == {
         "metric", "value", "unit", "n_queries", "queries", "errors",
         "prewarmed", "warmup_ok", "stream_stats", "second_run_s",
         "first_run_overhead_s", "second_run_errors",
-        "second_run_stream_stats", "sf",
+        "second_run_stream_stats", "cpu_steal", "sf",
     }
     assert full["value"] == line["value"]  # single-sourced total
     assert full["second_run_stream_stats"]["stream_x"]["microbatches"] == 4
     json.dumps(full)  # must survive serialization
+
+
+def test_steal_stats_ratio_and_unavailable_cases():
+    """steal_stats summarizes two cpu_ticks() readings; either side None
+    (non-Linux /proc) or a zero busy delta must degrade to None fields,
+    never divide by zero (r16: the ratio is standing contention evidence
+    in every bench artifact, so its edge cases must be exact)."""
+    import json
+
+    from gjenbruksstasjoner_kotid_estimering_spark.benchwarm import (
+        cpu_ticks,
+        steal_stats,
+    )
+
+    out = steal_stats({"steal": 100, "busy": 1000},
+                      {"steal": 350, "busy": 2000})
+    assert out == {"steal_ticks": 250, "busy_ticks": 1000,
+                   "steal_of_busy": 0.25}
+    assert steal_stats(None, {"steal": 1, "busy": 1}) is None
+    assert steal_stats({"steal": 1, "busy": 1}, None) is None
+    same = {"steal": 5, "busy": 7}
+    assert steal_stats(same, same)["steal_of_busy"] is None
+    json.dumps(out)
+
+    # live reading on this (Linux) host: monotone counters, sane shape
+    a, b = cpu_ticks(), cpu_ticks()
+    assert a is not None and b is not None
+    assert b["busy"] >= a["busy"] and b["steal"] >= a["steal"]
+
+
+def test_floor_check_notes_contended_record(tmp_path, capsys):
+    """A record carrying a high cpu_steal.steal_of_busy must print the
+    contended-host note (breaches suspect), and a quiet record must not
+    (r16). Informational only - rc unchanged."""
+    import json
+
+    from scripts.floor_check import main
+
+    base = {"metric": "full queries() sweep wall time", "value": 1.0,
+            "sf": 0.1, "queries": {"tpch_q1": 0.4}, "second_run_s": {}}
+    hot = dict(base, cpu_steal={"steal_ticks": 9, "busy_ticks": 36,
+                                "steal_of_busy": 0.25})
+    p = tmp_path / "hot.json"
+    p.write_text(json.dumps(hot))
+    assert main([str(p)]) == 0
+    assert "CONTENDED" in capsys.readouterr().out
+
+    quiet = dict(base, cpu_steal={"steal_ticks": 1, "busy_ticks": 220,
+                                  "steal_of_busy": 0.0045})
+    p2 = tmp_path / "quiet.json"
+    p2.write_text(json.dumps(quiet))
+    assert main([str(p2)]) == 0
+    assert "CONTENDED" not in capsys.readouterr().out
 
 
 def test_overhead_map_nulls_negative_deltas():
