@@ -36,13 +36,15 @@ from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 RERUN_TOP_K = 10
 
 
-def summary_line(timings, errors, warmup_ok, sf_val) -> dict:
+def summary_line(timings, errors, warmup_ok, sf_val, cpu_steal=None) -> dict:
     """The ONE JSON line the driver parses (BENCH_r{N}.json).
 
     Kept compact on purpose — round 1's full per-query map overflowed the
     driver's stdout tail capture ("parsed": null) — and schema-pinned by
     tests/test_benchwarm.py: metric/value/unit/n_queries/queries/
-    warmup_ok/sf always present, n_errors/errors only when a row failed.
+    warmup_ok/sf always present, n_errors/errors only when a row failed,
+    steal_of_busy (the timed-sweep hypervisor-steal ratio) only when
+    /proc/stat was measurable.
     With >3 failures the "errors" preview shows the first 3 in sweep
     (alphabetical) order, not by relevance — n_errors carries the true
     count and the complete error map is in bench_full.json.
@@ -59,6 +61,14 @@ def summary_line(timings, errors, warmup_ok, sf_val) -> dict:
     if errors:
         line["n_errors"] = len(errors)
         line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+    # One scalar of contention evidence in the DRIVER-FACING line (r16
+    # review: bench_full.json is overwritten by the next run, so the
+    # driver's BENCH_rNN.json wrapper is the only PERSISTENT per-round
+    # carrier — without this, floor_check can never flag a driver
+    # sidecar as contended). Omitted (not null) when /proc/stat is
+    # unavailable, keeping the base schema unchanged.
+    if cpu_steal and cpu_steal.get("steal_of_busy") is not None:
+        line["steal_of_busy"] = cpu_steal["steal_of_busy"]
     return line
 
 
@@ -141,7 +151,6 @@ def main() -> None:
     # and isolated re-times stay comparable (r11 review: the two warmups
     # drifted apart when duplicated).
     specs = registry.all_specs()
-    ticks0 = benchwarm.cpu_ticks()
     try:
         benchwarm.run_warmup(spark, sf_dir)
         warmup_ok = True
@@ -188,7 +197,13 @@ def main() -> None:
         counter = None
         print(f"bench: stream listener unavailable: {exc}", file=sys.stderr)
 
+    # Steal window = the TIMED sweep only (r16 review): warmup and the
+    # untimed rerun pass add 60-120s of wall that would dilute a steal
+    # burst confined to the sweep — the ratio must describe the same
+    # window as the total the triage rule reads.
+    ticks0 = benchwarm.cpu_ticks()
     timings, errors = _sweep(spark, specs, sf_dir, counter, stream_stats)
+    cpu_steal = benchwarm.steal_stats(ticks0, benchwarm.cpu_ticks())
 
     # Second-run pass over the slowest rows (UNTIMED — not in "value"):
     # every heavy row's isolated-warm A/B has shown a 0.5-1.5s first-
@@ -222,10 +237,9 @@ def main() -> None:
         tag="rerun:",
     )
     first_run_overhead = overhead_map(timings, second_run)
-    cpu_steal = benchwarm.steal_stats(ticks0, benchwarm.cpu_ticks())
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    line = summary_line(timings, errors, warmup_ok, sf_val)
+    line = summary_line(timings, errors, warmup_ok, sf_val, cpu_steal)
     full = full_sidecar(
         line,
         timings=timings,
@@ -332,14 +346,17 @@ def full_sidecar(
         # change means the rerun measured a different drain, not
         # steady-state cost.
         "second_run_stream_stats": second_run_stream_stats,
-        # Hypervisor steal across the whole run (warmup + timed sweep +
-        # rerun pass), from /proc/stat deltas: {steal_ticks, busy_ticks,
-        # steal_of_busy}. The r16 adjudication measured ~25% of non-idle
-        # ticks stolen during an above-band window (quiet r13 host:
-        # 0.45%) — a high steal_of_busy marks the sweep contended BY
-        # MEASUREMENT, so its total must not be read against the
-        # same-code band nor committed as a record. None where
-        # /proc/stat is unavailable.
+        # Hypervisor steal across the TIMED sweep window (warmup and the
+        # untimed rerun pass excluded — the ratio describes the same
+        # window as "value"), from /proc/stat deltas: {steal_ticks,
+        # busy_ticks, steal_of_busy}. The r16 adjudication measured ~25%
+        # of non-idle ticks stolen during an above-band window (quiet
+        # r13 host: 0.45%) — a high steal_of_busy marks the sweep
+        # contended BY MEASUREMENT, so its total must not be read
+        # against the same-code band nor committed as a record. None
+        # where /proc/stat is unavailable. The scalar steal_of_busy is
+        # also on the driver-facing summary line (the persistent
+        # per-round carrier).
         "cpu_steal": cpu_steal,
         "sf": sf_val,
     }

@@ -82,9 +82,13 @@ def cpu_ticks() -> dict | None:
     try:
         with open("/proc/stat") as fh:
             vals = [int(x) for x in fh.readline().split()[1:]]
+        # Fields: user nice system idle iowait irq softirq steal guest
+        # guest_nice. user/nice ALREADY include guest/guest_nice, so the
+        # total must stop at steal (vals[:8]) or guest time counts twice
+        # and deflates steal_of_busy on a KVM host (r16 review).
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
         steal = vals[7] if len(vals) > 7 else 0
-        return {"steal": steal, "busy": sum(vals) - idle}
+        return {"steal": steal, "busy": sum(vals[:8]) - idle}
     except Exception:  # noqa: BLE001 — diagnostics must never break a bench
         return None
 

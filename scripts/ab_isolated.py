@@ -16,7 +16,10 @@ Usage (each invocation is one fresh JVM — run once per query/arm):
         # a pyds query's timed entry is actually prewarmed by it)
     python scripts/ab_isolated.py --repeat 3 q1        # time q1 three times
 
-Prints one JSON line: {"queries": {name: [sec, ...]}, "pyds_warm": bool}.
+Prints one JSON line: {"queries": {name: [sec, ...]}, "pyds_warm": bool,
+"sf_dir": str, "cpu_steal": {steal_ticks, busy_ticks, steal_of_busy} |
+null} — cpu_steal spans this JVM's lifetime so an A/B taken inside a
+hypervisor-steal window is visibly contended in the artifact itself.
 """
 
 from __future__ import annotations

@@ -80,7 +80,11 @@ def main() -> int:
         if len(cohort) > 60:
             print(f"  ... and {len(cohort) - 60} more")
 
-        from scripts.rotate_priority import PINNED_REWRITTEN, active_pin_keys
+        from scripts.rotate_priority import (
+            DRIVER_SAMPLE_N,
+            PINNED_REWRITTEN,
+            active_pin_keys,
+        )
 
         pinned = tuple((k, r) for k, r in PINNED_REWRITTEN if k in keys)
         pins = active_pin_keys(pinned, evidence)
@@ -99,8 +103,6 @@ def main() -> int:
         # band outruns the sample, else the next-oldest cohort. The
         # budget is the single shared constant in rotate_priority (r15
         # advice: a drifting driver budget must not silently skew this).
-        from scripts.rotate_priority import DRIVER_SAMPLE_N
-
         sampled = set(keys[:DRIVER_SAMPLE_N])
         rem_never = [k for k in keys if k in set(never) and k not in sampled]
         if rem_never:

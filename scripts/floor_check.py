@@ -167,7 +167,11 @@ def main(argv: list[str]) -> int:
     # under heavy hypervisor steal inflates every row uniformly, so its
     # breaches need a quiet-host ab_isolated confirmation before they
     # mean anything. Informational only - rc semantics unchanged.
-    steal = (record.get("cpu_steal") or {}).get("steal_of_busy")
+    # bench_full.json carries the full cpu_steal dict; a driver sidecar's
+    # parsed summary line carries only the steal_of_busy scalar.
+    cs = record.get("cpu_steal")
+    steal = (cs.get("steal_of_busy") if isinstance(cs, dict)
+             else record.get("steal_of_busy"))
     if steal is not None and steal >= STEAL_NOTE_RATIO:
         print(f"note: this record measured cpu steal_of_busy={steal:.1%}"
               f" (>= {STEAL_NOTE_RATIO:.0%}) - the host was CONTENDED"

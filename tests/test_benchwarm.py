@@ -159,6 +159,18 @@ def test_bench_summary_line_schema_is_stable():
     assert len(with_err["errors"]["qx"]) <= 80
     json.dumps(with_err)
 
+    # steal_of_busy joins the line ONLY when measured (r16: the driver
+    # sidecar is the persistent per-round carrier of contention evidence;
+    # an unmeasurable /proc/stat must leave the base schema untouched).
+    with_steal = bench.summary_line(
+        timings, {}, True, 0.1,
+        cpu_steal={"steal_ticks": 9, "busy_ticks": 36, "steal_of_busy": 0.25})
+    assert with_steal["steal_of_busy"] == 0.25
+    no_ratio = bench.summary_line(
+        timings, {}, True, 0.1,
+        cpu_steal={"steal_ticks": 0, "busy_ticks": 0, "steal_of_busy": None})
+    assert "steal_of_busy" not in no_ratio
+
 
 def test_full_sidecar_schema_is_stable():
     """bench_full.json is the triage artifact behind every sweep-blip
@@ -220,9 +232,14 @@ def test_steal_stats_ratio_and_unavailable_cases():
     assert steal_stats(same, same)["steal_of_busy"] is None
     json.dumps(out)
 
-    # live reading on this (Linux) host: monotone counters, sane shape
+    # live reading on this host: monotone counters, sane shape. cpu_ticks
+    # degrades to None by DESIGN where /proc/stat is absent (non-Linux) —
+    # skip rather than contradict that contract.
     a, b = cpu_ticks(), cpu_ticks()
-    assert a is not None and b is not None
+    if a is None or b is None:
+        import pytest
+
+        pytest.skip("/proc/stat unavailable on this platform")
     assert b["busy"] >= a["busy"] and b["steal"] >= a["steal"]
 
 
@@ -249,6 +266,16 @@ def test_floor_check_notes_contended_record(tmp_path, capsys):
     p2.write_text(json.dumps(quiet))
     assert main([str(p2)]) == 0
     assert "CONTENDED" not in capsys.readouterr().out
+
+    # driver sidecar: the parsed summary line carries only the scalar
+    # steal_of_busy (no cpu_steal dict) - the note must still fire (r16
+    # review: the sidecar is the only PERSISTENT per-round carrier).
+    sidecar = {"n": 15, "rc": 0, "sf": 0.1,
+               "parsed": dict(base, steal_of_busy=0.31)}
+    p3 = tmp_path / "BENCH_r99.json"
+    p3.write_text(json.dumps(sidecar))
+    assert main([str(p3)]) == 0
+    assert "CONTENDED" in capsys.readouterr().out
 
 
 def test_overhead_map_nulls_negative_deltas():

@@ -139,7 +139,14 @@ def test_priority_head_is_rotated():
     rot = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rot)
     active_pins = set(rot.active_pin_keys(rot.PINNED_REWRITTEN, evidence))
-    head = [k for k in registry._PRIORITY[:50] if k in evidence or k in all_keys]
+    # The head width is the driver's sample budget — the shared constant,
+    # not a literal, so a budget drift can't silently let keys beyond the
+    # checked slots re-sample just-confirmed rows (r16 review).
+    head = [
+        k
+        for k in registry._PRIORITY[: rot.DRIVER_SAMPLE_N]
+        if k in evidence or k in all_keys
+    ]
     wasted = [k for k in head if k in newest_keys and k not in active_pins]
     assert not wasted, (
         f"_PRIORITY head re-samples keys the driver just confirmed in "
