@@ -62,58 +62,7 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r9 (3 keys) ---
-    "window_percent_rank",
-    "window_range_frame",
-    "window_rank",
-    # --- newest driver evidence r10 (50 keys) ---
-    "agg_approx_distinct",
-    "agg_basic",
-    "agg_cube",
-    "agg_distinct",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_rollup",
-    "basket_part_pairs",
-    "bpe_pair_stats",
-    "corpus_split_assign",
-    "date_trunc_agg",
-    "dedup_containment_rare_shingle",
-    "dedup_winnow_pairs",
-    "doc_chunk_overlap",
-    "events_ab_test",
-    "events_anomaly_mad",
-    "events_funnel",
-    "events_pattern_peaks",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "graph_triangle_count",
-    "join_asof_abs_nearest",
-    "join_asof_forward",
-    "merge_tx_compact_read",
-    "merge_tx_delete_update",
-    "merge_tx_pruned_read",
-    "multimodal_audio_stats",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "profile_columns",
-    "recursive_cte_hierarchy",
-    "scan_python_datasource",
-    "similarity_topk_pq",
-    "stat_regression_exact",
-    "text_bm25_rank",
-    "text_gopher_quality_flags",
-    "text_pmi_positive_pairs",
-    "text_segment_dedup",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q7",
+    # --- newest driver evidence r10 (3 keys) ---
     "tpch_q8",
     "tpch_q9",
     "window_ignore_nulls",
@@ -372,6 +321,57 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead",
     "window_ntile",
     "window_time_range_rolling",
+    # --- newest driver evidence r16 (50 keys) ---
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_cube",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "basket_part_pairs",
+    "bpe_pair_stats",
+    "corpus_split_assign",
+    "date_trunc_agg",
+    "dedup_containment_rare_shingle",
+    "dedup_winnow_pairs",
+    "doc_chunk_overlap",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "events_funnel",
+    "events_pattern_peaks",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "graph_triangle_count",
+    "join_asof_abs_nearest",
+    "join_asof_forward",
+    "merge_tx_compact_read",
+    "merge_tx_delete_update",
+    "merge_tx_pruned_read",
+    "multimodal_audio_stats",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "profile_columns",
+    "recursive_cte_hierarchy",
+    "scan_python_datasource",
+    "similarity_topk_pq",
+    "stat_regression_exact",
+    "text_bm25_rank",
+    "text_gopher_quality_flags",
+    "text_pmi_positive_pairs",
+    "text_segment_dedup",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q7",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_rank",
 )
 
 

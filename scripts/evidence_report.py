@@ -104,7 +104,8 @@ def main() -> int:
         # budget is the single shared constant in rotate_priority (r15
         # advice: a drifting driver budget must not silently skew this).
         sampled = set(keys[:DRIVER_SAMPLE_N])
-        rem_never = [k for k in keys if k in set(never) and k not in sampled]
+        never_set = set(never)
+        rem_never = [k for k in keys if k in never_set and k not in sampled]
         if rem_never:
             print(f"\nexpected next-round head (assuming a "
                   f"{DRIVER_SAMPLE_N}-key sample): {len(rem_never)}"
