@@ -63,7 +63,9 @@ FLOORS = {
     "ml_classifier_eval": 1.6,
     "pandas_api_pipeline": 1.4,
     "profile_columns": 1.4,
+    "queue_estimate": 1.0,
     "queue_estimate_ml": 2.1,
+    "recursive_cte_hierarchy": 1.7,
     "similarity_topk_ivf": 2.0,
     "stream_stateful_tracker": 1.7,
     "stream_union_sources_true": 2.2,
