@@ -179,6 +179,15 @@ def main(argv: list[str]) -> int:
               f" (>= {STEAL_NOTE_RATIO:.0%}) - the host was CONTENDED"
               " during the sweep; treat breaches below as suspect and"
               " re-confirm on a quiet host")
+    elif steal is None:
+        # Make the missing-provenance case loud (r17 review): the
+        # committed 261.19s record predates the r16 steal capture, so
+        # the contended-host note above can never fire on it - without
+        # this line that reads as "checked and quiet" when it's really
+        # "not measurable from the artifact".
+        print("note: this record carries NO cpu_steal measurement"
+              " (pre-r16 artifact) - host quietness is documented in"
+              " PROGRESS.md prose only, not machine-checkable here")
     breaches, candidates = triage(record, top)
 
     second = record.get("second_run_s", {})

@@ -277,6 +277,16 @@ def test_floor_check_notes_contended_record(tmp_path, capsys):
     assert main([str(p3)]) == 0
     assert "CONTENDED" in capsys.readouterr().out
 
+    # no steal measurement at all (pre-r16 artifact, e.g. the committed
+    # 261.19s record): the gap must be LOUD, not silent — otherwise a
+    # missing field reads as "checked and quiet" (r17 review).
+    p4 = tmp_path / "old.json"
+    p4.write_text(json.dumps(base))
+    assert main([str(p4)]) == 0
+    out4 = capsys.readouterr().out
+    assert "NO cpu_steal measurement" in out4
+    assert "CONTENDED" not in out4
+
 
 def test_overhead_map_nulls_negative_deltas():
     """A rerun slower than the timed first run measured host noise, not
