@@ -72,7 +72,9 @@ def summary_line(timings, errors, warmup_ok, sf_val, cpu_steal=None) -> dict:
     return line
 
 
-def _sweep(spark, specs, sf_dir, counter, stream_stats, tag="") -> tuple[dict, dict]:
+def _sweep(
+    spark, specs, sf_dir, counter, stream_stats, tag="", row_steal=None
+) -> tuple[dict, dict]:
     """Time every query; return ({name: sec}, {name: error}).
 
     Extracted from main() so the per-row guard contract is unit-testable
@@ -80,10 +82,20 @@ def _sweep(spark, specs, sf_dir, counter, stream_stats, tag="") -> tuple[dict, d
     errors, and the listener settle runs even for failed rows. ``tag``
     prefixes stderr failure lines so a rerun-pass failure is not
     mistaken for a timed-sweep failure in the log.
+
+    ``row_steal`` (optional out-param, same style as ``stream_stats``):
+    per-row hypervisor-steal ratio over each row's own timed window.
+    The whole-sweep ratio can't say WHICH rows a mid-sweep steal burst
+    hit (r17: three sweeps read 311/397/342s with whole-sweep steal
+    6-18% after quiet-host launch probes — the burst arrived mid-sweep
+    each time); the per-row ratio makes a polluted sweep self-triaging
+    at row granularity. Two /proc/stat reads per row (~10µs) — noise
+    next to the cheapest 0.1s row.
     """
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(specs):
+        ticks_row = benchwarm.cpu_ticks() if row_steal is not None else None
         # builder() inside the timed region: some builders do real work
         # (MLlib fits, iterative collects, count() scalars) before the
         # plan exists — timing only the final action would under-report
@@ -104,6 +116,12 @@ def _sweep(spark, specs, sf_dir, counter, stream_stats, tag="") -> tuple[dict, d
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {tag}{name} FAILED: {errors[name]}", file=sys.stderr)
         finally:
+            # Read the per-row steal window FIRST in the finally — before
+            # the settle poll below, whose up-to-1s of untimed waiting
+            # would dilute the ratio for the timed region it describes.
+            if row_steal is not None:
+                st = benchwarm.steal_stats(ticks_row, benchwarm.cpu_ticks())
+                row_steal[name] = st["steal_of_busy"] if st else None
             # settle OUTSIDE the timed region: the drain already finished;
             # this only waits for the listener bus to catch up. It runs in
             # the finally so a FAILED row's in-flight listener tail drains
@@ -202,7 +220,10 @@ def main() -> None:
     # burst confined to the sweep — the ratio must describe the same
     # window as the total the triage rule reads.
     ticks0 = benchwarm.cpu_ticks()
-    timings, errors = _sweep(spark, specs, sf_dir, counter, stream_stats)
+    row_steal: dict[str, float | None] = {}
+    timings, errors = _sweep(
+        spark, specs, sf_dir, counter, stream_stats, row_steal=row_steal
+    )
     cpu_steal = benchwarm.steal_stats(ticks0, benchwarm.cpu_ticks())
 
     # Second-run pass over the slowest rows (UNTIMED — not in "value"):
@@ -255,6 +276,7 @@ def main() -> None:
         second_run_stream_stats=second_run_stream_stats,
         sf_val=sf_val,
         cpu_steal=cpu_steal,
+        row_steal=row_steal,
     )
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(sidecar, "w") as fh:
@@ -293,6 +315,7 @@ def full_sidecar(
     second_run_stream_stats,
     sf_val,
     cpu_steal=None,
+    row_steal=None,
 ) -> dict:
     """The bench_full.json sidecar (schema-pinned in tests/test_benchwarm.py).
 
@@ -358,6 +381,15 @@ def full_sidecar(
         # also on the driver-facing summary line (the persistent
         # per-round carrier).
         "cpu_steal": cpu_steal,
+        # Per-row steal ratio over each timed row's own window (same
+        # /proc/stat source, captured inside _sweep). The whole-sweep
+        # ratio above can't say WHICH rows a mid-sweep burst hit (r17:
+        # three launch-probe-quiet sweeps came back 311/397/342s with
+        # 6-18% whole-sweep steal — the burst arrived mid-sweep every
+        # time); with this map, a breach row whose own window was
+        # stolen is adjudicated from the artifact alone. None per row
+        # where /proc/stat is unavailable; {} when capture was off.
+        "row_steal": row_steal if row_steal is not None else {},
         "sf": sf_val,
     }
 

@@ -191,6 +191,10 @@ def main(argv: list[str]) -> int:
     breaches, candidates = triage(record, top)
 
     second = record.get("second_run_s", {})
+    # Per-row steal (r17): when the record carries row_steal, a row whose
+    # OWN timed window was contended gets an inline annotation — the
+    # breach is then adjudicated from the artifact, no ab_isolated needed.
+    row_steal = record.get("row_steal") or {}
     for name, timed in sorted(record["queries"].items(), key=lambda kv: -kv[1])[:top]:
         floor = FLOORS.get(name)
         steady = second.get(name)
@@ -198,7 +202,11 @@ def main(argv: list[str]) -> int:
             "pin?  " if any(c[0] == name for c in candidates) else "ok    ")
         s_steady = f"{steady:5.2f}" if steady is not None else "  -  "
         s_floor = f"{floor:4.1f}" if floor is not None else "  - "
-        print(f"{tag} {name:38s} timed {timed:6.2f}  steady {s_steady}  floor {s_floor}")
+        rs = row_steal.get(name)
+        s_steal = (f"  row-steal {rs:.0%} CONTENDED"
+                   if rs is not None and rs >= STEAL_NOTE_RATIO else "")
+        print(f"{tag} {name:38s} timed {timed:6.2f}  steady {s_steady}"
+              f"  floor {s_floor}{s_steal}")
 
     if candidates:
         print("\npin candidates (heavy, no floor - run"

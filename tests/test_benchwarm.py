@@ -136,6 +136,43 @@ def test_sweep_tag_marks_rerun_failures(monkeypatch, capsys):
     assert "bench: rerun:heavy FAILED" in capsys.readouterr().err
 
 
+def test_sweep_row_steal_covers_every_row_including_failures(monkeypatch):
+    """row_steal (r17) is per-row contention evidence: every row the
+    sweep touched — timed OR failed — gets an entry keyed on its own
+    /proc/stat window, and the capture must never reclassify a row (it
+    runs in the finally, before the settle that would dilute it). With
+    capture off (row_steal=None, the rerun pass) _sweep must not read
+    /proc/stat at all."""
+    import bench
+
+    monkeypatch.setattr(benchwarm, "settle", lambda *a, **k: None)
+    ticks = iter(range(100))
+    monkeypatch.setattr(
+        benchwarm, "cpu_ticks",
+        lambda: {"steal": next(ticks), "busy": 100 * next(ticks)},
+    )
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("mid-sweep flake")
+
+    specs = {"good": _Spec(lambda s, d: _FakeDF()), "bad": _Spec(boom)}
+    row_steal: dict = {}
+    timings, errors = bench._sweep(
+        None, specs, "x", _Counter(), {}, row_steal=row_steal
+    )
+    assert set(row_steal) == {"good", "bad"}  # failures captured too
+    assert all(v is not None for v in row_steal.values())
+    assert "good" in timings and "bad" in errors
+
+    calls = []
+    monkeypatch.setattr(
+        benchwarm, "cpu_ticks", lambda: calls.append(1) or None
+    )
+    bench._sweep(None, {"good": _Spec(lambda s, d: _FakeDF())},
+                 "x", _Counter(), {})
+    assert calls == []  # capture off → zero /proc/stat reads
+
+
 def test_bench_summary_line_schema_is_stable():
     """The printed line is the driver's ONLY bench interface (a malformed
     line in round 1 cost the round its bench artifact). Pin the key set,
@@ -198,15 +235,17 @@ def test_full_sidecar_schema_is_stable():
         sf_val=0.1,
         cpu_steal={"steal_ticks": 10, "busy_ticks": 1000,
                    "steal_of_busy": 0.01},
+        row_steal={"stream_x": 0.02, "batch_y": None},
     )
     assert set(full) == {
         "metric", "value", "unit", "n_queries", "queries", "errors",
         "prewarmed", "warmup_ok", "stream_stats", "second_run_s",
         "first_run_overhead_s", "second_run_errors",
-        "second_run_stream_stats", "cpu_steal", "sf",
+        "second_run_stream_stats", "cpu_steal", "row_steal", "sf",
     }
     assert full["value"] == line["value"]  # single-sourced total
     assert full["second_run_stream_stats"]["stream_x"]["microbatches"] == 4
+    assert full["row_steal"]["stream_x"] == 0.02
     json.dumps(full)  # must survive serialization
 
 
@@ -286,6 +325,21 @@ def test_floor_check_notes_contended_record(tmp_path, capsys):
     out4 = capsys.readouterr().out
     assert "NO cpu_steal measurement" in out4
     assert "CONTENDED" not in out4
+
+    # per-row steal (r17): a displayed row whose OWN window was stolen is
+    # annotated inline; quiet rows are not. The whole-sweep ratio can be
+    # quiet while one row's window was hit (mid-sweep burst).
+    perrow = dict(base,
+                  queries={"tpch_q1": 0.4, "tpch_q2": 0.5},
+                  cpu_steal={"steal_ticks": 1, "busy_ticks": 220,
+                             "steal_of_busy": 0.0045},
+                  row_steal={"tpch_q1": 0.31, "tpch_q2": 0.002})
+    p5 = tmp_path / "perrow.json"
+    p5.write_text(json.dumps(perrow))
+    assert main([str(p5)]) == 0
+    out5 = capsys.readouterr().out
+    assert "row-steal 31% CONTENDED" in out5
+    assert out5.count("row-steal") == 1  # quiet row not annotated
 
 
 def test_overhead_map_nulls_negative_deltas():
