@@ -119,9 +119,20 @@ def _sweep(
             # Read the per-row steal window FIRST in the finally — before
             # the settle poll below, whose up-to-1s of untimed waiting
             # would dilute the ratio for the timed region it describes.
+            # Own narrow try, same convention as the settle block below:
+            # diagnostics raised inside a finally would REPLACE an
+            # in-flight builder exception and kill the sweep (the
+            # round-2 no-artifact failure mode).
             if row_steal is not None:
-                st = benchwarm.steal_stats(ticks_row, benchwarm.cpu_ticks())
-                row_steal[name] = st["steal_of_busy"] if st else None
+                try:
+                    st = benchwarm.steal_stats(
+                        ticks_row, benchwarm.cpu_ticks()
+                    )
+                    row_steal[name] = st["steal_of_busy"] if st else None
+                except Exception as exc:  # noqa: BLE001 — diagnostics only
+                    row_steal[name] = None
+                    print(f"bench: {tag}{name} row-steal capture failed:"
+                          f" {exc}", file=sys.stderr)
             # settle OUTSIDE the timed region: the drain already finished;
             # this only waits for the listener bus to catch up. It runs in
             # the finally so a FAILED row's in-flight listener tail drains
@@ -249,6 +260,12 @@ def main() -> None:
         if n.startswith("stream_") and n not in rerun_names
     ]
     second_run_stream_stats: dict[str, dict[str, int]] = {}
+    # The rerun window gets its own per-row steal map (r17 review):
+    # floor_check's breach verdict keys on second_run_s — a burst
+    # confined to a row's RERUN would inflate the steady reading while
+    # the timed-window map read quiet, mis-adjudicating the exact case
+    # the capture exists for.
+    second_run_row_steal: dict[str, float | None] = {}
     second_run, rerun_errors = _sweep(
         spark,
         {n: specs[n] for n in rerun_names},
@@ -256,6 +273,7 @@ def main() -> None:
         counter,
         second_run_stream_stats,
         tag="rerun:",
+        row_steal=second_run_row_steal,
     )
     first_run_overhead = overhead_map(timings, second_run)
 
@@ -277,6 +295,7 @@ def main() -> None:
         sf_val=sf_val,
         cpu_steal=cpu_steal,
         row_steal=row_steal,
+        second_run_row_steal=second_run_row_steal,
     )
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(sidecar, "w") as fh:
@@ -316,6 +335,7 @@ def full_sidecar(
     sf_val,
     cpu_steal=None,
     row_steal=None,
+    second_run_row_steal=None,
 ) -> dict:
     """The bench_full.json sidecar (schema-pinned in tests/test_benchwarm.py).
 
@@ -390,6 +410,13 @@ def full_sidecar(
         # stolen is adjudicated from the artifact alone. None per row
         # where /proc/stat is unavailable; {} when capture was off.
         "row_steal": row_steal if row_steal is not None else {},
+        # Same map for the untimed rerun pass: floor_check's breach
+        # verdict keys on second_run_s, so the steal evidence for a
+        # steady reading must come from the RERUN window, not the timed
+        # one (r17 review).
+        "second_run_row_steal": (
+            second_run_row_steal if second_run_row_steal is not None else {}
+        ),
         "sf": sf_val,
     }
 

@@ -103,6 +103,22 @@ PIN_CANDIDATE_S = 2.0
 STEAL_NOTE_RATIO = 0.05
 
 
+def steal_note(name, row_steal, rerun_steal) -> str:
+    """Inline contention annotation for one row from the record's own
+    per-window steal maps (r17): the TIMED window explains the timed
+    entry; the RERUN window explains second_run_s — the reading breach
+    verdicts key on. Empty string when both windows were quiet or
+    unmeasured."""
+    out = ""
+    rt = row_steal.get(name)
+    if rt is not None and rt >= STEAL_NOTE_RATIO:
+        out += f"  row-steal {rt:.0%} CONTENDED"
+    rr = rerun_steal.get(name)
+    if rr is not None and rr >= STEAL_NOTE_RATIO:
+        out += f"  rerun-steal {rr:.0%} CONTENDED"
+    return out
+
+
 def triage(record: dict, top: int = 20) -> tuple[list, list]:
     """Return (breaches, pin_candidates) for the record.
 
@@ -180,21 +196,34 @@ def main(argv: list[str]) -> int:
               " during the sweep; treat breaches below as suspect and"
               " re-confirm on a quiet host")
     elif steal is None:
-        # Make the missing-provenance case loud (r17 review): the
-        # committed 261.19s record predates the r16 steal capture, so
-        # the contended-host note above can never fire on it - without
-        # this line that reads as "checked and quiet" when it's really
-        # "not measurable from the artifact".
-        print("note: this record carries NO cpu_steal measurement"
-              " (pre-r16 artifact) - host quietness is documented in"
-              " PROGRESS.md prose only, not machine-checkable here")
+        # Make the missing-provenance case loud (r17 review), and say
+        # WHICH missing case it is (r17 review #2): a record with no
+        # cpu_steal/steal_of_busy key at all predates the r16 capture;
+        # one whose key is present but null WAS captured on a host
+        # where the ratio is unmeasurable (no /proc/stat, or a zero
+        # busy delta) - claiming "pre-r16" there sends the reader
+        # hunting for PROGRESS.md prose that doesn't exist.
+        if "cpu_steal" not in record and "steal_of_busy" not in record:
+            print("note: this record carries NO cpu_steal measurement"
+                  " (pre-r16 artifact) - host quietness is documented"
+                  " in PROGRESS.md prose only, not machine-checkable"
+                  " here")
+        else:
+            print("note: this record's steal ratio is null - capture"
+                  " ran but the ratio was unmeasurable (no /proc/stat"
+                  " on the host, or a zero busy-tick delta); host"
+                  " quietness is not machine-checkable here")
     breaches, candidates = triage(record, top)
 
     second = record.get("second_run_s", {})
-    # Per-row steal (r17): when the record carries row_steal, a row whose
-    # OWN timed window was contended gets an inline annotation — the
-    # breach is then adjudicated from the artifact, no ab_isolated needed.
+    # Per-row steal (r17): when the record carries row_steal /
+    # second_run_row_steal, a row whose OWN window (timed or rerun) was
+    # contended gets an inline annotation — the reading is then
+    # adjudicated from the artifact, no ab_isolated needed. The rerun
+    # window matters MORE for breach verdicts: triage keys steady on
+    # second_run_s, which the timed-window map says nothing about.
     row_steal = record.get("row_steal") or {}
+    rerun_steal = record.get("second_run_row_steal") or {}
     for name, timed in sorted(record["queries"].items(), key=lambda kv: -kv[1])[:top]:
         floor = FLOORS.get(name)
         steady = second.get(name)
@@ -202,11 +231,8 @@ def main(argv: list[str]) -> int:
             "pin?  " if any(c[0] == name for c in candidates) else "ok    ")
         s_steady = f"{steady:5.2f}" if steady is not None else "  -  "
         s_floor = f"{floor:4.1f}" if floor is not None else "  - "
-        rs = row_steal.get(name)
-        s_steal = (f"  row-steal {rs:.0%} CONTENDED"
-                   if rs is not None and rs >= STEAL_NOTE_RATIO else "")
         print(f"{tag} {name:38s} timed {timed:6.2f}  steady {s_steady}"
-              f"  floor {s_floor}{s_steal}")
+              f"  floor {s_floor}{steal_note(name, row_steal, rerun_steal)}")
 
     if candidates:
         print("\npin candidates (heavy, no floor - run"
@@ -214,11 +240,17 @@ def main(argv: list[str]) -> int:
         for name, timed in candidates:
             print(f"  {name} ({timed:.2f}s)")
     if breaches:
+        # The breach scan covers ALL floored rows (r14 advice), so the
+        # steal annotation must too (r17 review #2): a below-display-cut
+        # breach whose own window the artifact shows as stolen would
+        # otherwise read as unadjudicated and trigger a needless
+        # ab_isolated run.
         print("\nBREACHES (steady above floor band - confirm with"
               " ab_isolated before any plan change):")
         for name, timed, steady, floor in breaches:
             print(f"  {name}: steady {steady:.2f}s vs floor {floor:.1f}s"
-                  f" (band {floor * TOLERANCE + ABS_SLACK:.2f}s)")
+                  f" (band {floor * TOLERANCE + ABS_SLACK:.2f}s)"
+                  f"{steal_note(name, row_steal, rerun_steal)}")
         return 1
     scanned = sum(1 for n in record["queries"] if n in FLOORS)
     print(f"\nfloor check: {scanned} pinned floors scanned, slowest"

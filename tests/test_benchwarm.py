@@ -172,6 +172,22 @@ def test_sweep_row_steal_covers_every_row_including_failures(monkeypatch):
                  "x", _Counter(), {})
     assert calls == []  # capture off → zero /proc/stat reads
 
+    # A capture failure is diagnostics-only: it must not kill the sweep
+    # nor reclassify the row (narrow-try convention, r17 review — an
+    # exception raised inside the finally would REPLACE an in-flight
+    # builder exception and abort with no artifact).
+    monkeypatch.setattr(benchwarm, "cpu_ticks", lambda: {"bad": "shape"})
+    def bad_stats(a, b):
+        raise TypeError("unexpected tick shape")
+    monkeypatch.setattr(benchwarm, "steal_stats", bad_stats)
+    rs: dict = {}
+    timings, errors = bench._sweep(
+        None, {"good": _Spec(lambda s, d: _FakeDF())},
+        "x", _Counter(), {}, row_steal=rs,
+    )
+    assert "good" in timings and errors == {}
+    assert rs == {"good": None}
+
 
 def test_bench_summary_line_schema_is_stable():
     """The printed line is the driver's ONLY bench interface (a malformed
@@ -236,16 +252,19 @@ def test_full_sidecar_schema_is_stable():
         cpu_steal={"steal_ticks": 10, "busy_ticks": 1000,
                    "steal_of_busy": 0.01},
         row_steal={"stream_x": 0.02, "batch_y": None},
+        second_run_row_steal={"stream_x": 0.4},
     )
     assert set(full) == {
         "metric", "value", "unit", "n_queries", "queries", "errors",
         "prewarmed", "warmup_ok", "stream_stats", "second_run_s",
         "first_run_overhead_s", "second_run_errors",
-        "second_run_stream_stats", "cpu_steal", "row_steal", "sf",
+        "second_run_stream_stats", "cpu_steal", "row_steal",
+        "second_run_row_steal", "sf",
     }
     assert full["value"] == line["value"]  # single-sourced total
     assert full["second_run_stream_stats"]["stream_x"]["microbatches"] == 4
     assert full["row_steal"]["stream_x"] == 0.02
+    assert full["second_run_row_steal"]["stream_x"] == 0.4
     json.dumps(full)  # must survive serialization
 
 
@@ -333,13 +352,58 @@ def test_floor_check_notes_contended_record(tmp_path, capsys):
                   queries={"tpch_q1": 0.4, "tpch_q2": 0.5},
                   cpu_steal={"steal_ticks": 1, "busy_ticks": 220,
                              "steal_of_busy": 0.0045},
-                  row_steal={"tpch_q1": 0.31, "tpch_q2": 0.002})
+                  row_steal={"tpch_q1": 0.31, "tpch_q2": 0.002},
+                  second_run_row_steal={"tpch_q2": 0.4})
     p5 = tmp_path / "perrow.json"
     p5.write_text(json.dumps(perrow))
     assert main([str(p5)]) == 0
     out5 = capsys.readouterr().out
     assert "row-steal 31% CONTENDED" in out5
-    assert out5.count("row-steal") == 1  # quiet row not annotated
+    assert out5.count("row-steal") == 1  # quiet timed window not annotated
+    # the RERUN window has its own annotation (breach verdicts key on
+    # second_run_s, whose contention the timed map says nothing about)
+    assert "rerun-steal 40% CONTENDED" in out5
+
+    # a post-capture artifact whose ratio is null (cpu_steal: null on a
+    # /proc/stat-less host) must NOT claim "pre-r16" provenance
+    nullsteal = dict(base, cpu_steal=None)
+    p6 = tmp_path / "nullsteal.json"
+    p6.write_text(json.dumps(nullsteal))
+    assert main([str(p6)]) == 0
+    out6 = capsys.readouterr().out
+    assert "unmeasurable" in out6
+    assert "pre-r16" not in out6
+
+
+def test_floor_check_breach_block_carries_steal_annotation(tmp_path, capsys):
+    """The breach scan covers ALL floored rows, including those below the
+    display cut (r14 advice) — so the per-row steal annotation must reach
+    the BREACHES block too, or a below-cut breach whose own rerun window
+    the artifact shows as stolen reads as unadjudicated (r17 review)."""
+    import json
+
+    from scripts.floor_check import main
+
+    # tpch_q1 has no floor; give the breach row a floor via a real pinned
+    # name (udaf_grouped_stats, floor 0.7) and push it below the top-1
+    # display cut with a slower unfloored row.
+    rec = {"metric": "full queries() sweep wall time", "value": 9.0,
+           "sf": 0.1,
+           "queries": {"tpch_q1": 1.9, "udaf_grouped_stats": 1.8},
+           "second_run_s": {"udaf_grouped_stats": 2.5},
+           "cpu_steal": {"steal_ticks": 1, "busy_ticks": 220,
+                         "steal_of_busy": 0.0045},
+           "row_steal": {"udaf_grouped_stats": 0.01},
+           "second_run_row_steal": {"udaf_grouped_stats": 0.52}}
+    p = tmp_path / "burst.json"
+    p.write_text(json.dumps(rec))
+    assert main([str(p), "--top", "1"]) == 1  # steady 2.5 > 0.7*1.5+0.5
+    out = capsys.readouterr().out
+    assert "BREACHES" in out
+    # the breach line itself carries the rerun-window contention evidence
+    breach_line = [l for l in out.splitlines()
+                   if l.strip().startswith("udaf_grouped_stats:")][0]
+    assert "rerun-steal 52% CONTENDED" in breach_line
 
 
 def test_overhead_map_nulls_negative_deltas():
