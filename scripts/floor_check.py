@@ -51,9 +51,11 @@ FLOORS = {
     "dedup_ngram_jaccard": 2.2,
     "dedup_simhash": 1.9,
     "er_resolve_parts": 2.1,
+    "events_anomaly_mad": 1.2,
     "graph_bfs_distance": 2.0,
     "graph_sssp_weighted": 2.1,
     "graph_pagerank": 3.0,
+    "image_pipeline_stats": 1.7,
     "graph_triangle_count": 2.5,
     "join_aqe_skew": 1.7,
     "join_bucketed_colocated": 2.0,
@@ -71,6 +73,7 @@ FLOORS = {
     "stream_union_sources_true": 2.2,
     "stream_error_followup_join": 2.7,
     "stream_late_data_drop_true": 2.5,
+    "stream_ohlc_true": 1.4,
     "stream_python_datasource_true": 3.5,
     "stream_scd2_dimension_true": 4.8,
     "stream_txn_multi_table_true": 2.8,
