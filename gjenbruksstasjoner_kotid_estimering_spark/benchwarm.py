@@ -113,6 +113,80 @@ def steal_stats(before: dict | None, after: dict | None) -> dict | None:
     }
 
 
+def warm_python_lanes(spark) -> None:
+    """Pay each Python-eval operator class's one-time worker/plan-class
+    setup on 64 synthetic rows, untimed (r17 optimization round, guide
+    §1: measure the computation, not the harness cold start).
+
+    The r16 driver sweep's only two floor breaches were exactly this
+    cost: ``udaf_grouped_stats`` timed 4.87s vs 0.80s on its same-session
+    rerun and ``udtf_polymorphic_split`` 4.13s vs 0.49s — the sidecar's
+    own ``first_run_overhead_s`` attributed 4.07s/3.64s to the session's
+    FIRST use of the FlatMapGroupsInPandas / PythonUDTF lanes (worker
+    pool spin-up + JVM plan-class load), not to the queries. The batch
+    warm-up set covers the scan/join/window/stream shapes but, before
+    this round, no applyInPandas, no grouped-agg pandas UDF, no
+    mapInPandas/mapInArrow, no UDTF and no pickled-UDF lane — so
+    whichever registry row alphabetically reached each lane first ate
+    its setup inside the timed region. One tiny query per lane here
+    moves that one-time cost into session setup where it belongs; the
+    per-row timings then measure steady-state plans for every row of
+    those families alike.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf, udtf
+
+    base = spark.range(64).select(
+        (F.col("id") % 8).alias("k"), F.col("id").cast("double").alias("v")
+    )
+
+    def _gstats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "m": [pdf["v"].mean()]})
+
+    base.groupBy("k").applyInPandas(_gstats, schema="k long, m double").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    @pandas_udf("double")
+    def _gsum(v: pd.Series) -> float:
+        return float(v.sum())
+
+    base.groupBy("k").agg(_gsum("v").alias("s")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    @pandas_udf("double")
+    def _sq(v: pd.Series) -> pd.Series:
+        return v * v
+
+    @udf("double")
+    def _halve(x: float) -> float:
+        return x / 2.0
+
+    def _mip(it):
+        for pdf in it:
+            yield pdf
+
+    base.select(_sq("v").alias("a"), _halve("v").alias("b")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    base.mapInPandas(_mip, schema="k long, v double").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    base.mapInArrow(lambda it: it, schema="k long, v double").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    @udtf(returnType="x: long")
+    class _Dup:
+        def eval(self, k: int):  # noqa: D102
+            yield (k,)
+            yield (k,)
+
+    _Dup(F.lit(1)).write.format("noop").mode("overwrite").save()
+
+
 def run_warmup(spark, sf_dir: str, pyds: bool = True) -> None:
     """Run the fixed warm-up set untimed. ``pyds=False`` skips the Python
     DataSource read/write warm (the A/B arm for prewarm attribution)."""
@@ -127,6 +201,7 @@ def run_warmup(spark, sf_dir: str, pyds: bool = True) -> None:
             specs[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+    warm_python_lanes(spark)
     if not pyds:
         return
 

@@ -161,7 +161,11 @@ def kmeans_index(
     feats = _features_df(spark, sf_dir)
     km = KMeans(k=k, seed=SEED, featuresCol="features", predictionCol="cluster")
     model = km.fit(feats)
-    assigned = model.transform(feats)
+    # r17 optimization (guide §2.4): callers consume ``assigned`` in
+    # several actions (query-row collect, broadcast build, candidate
+    # scan) — materialize once so the embedding→vector conversion and
+    # the k-way center-distance projection run one pass, not per action.
+    assigned = model.transform(feats).localCheckpoint(eager=False)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids
 
@@ -231,7 +235,13 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    labeled = feats.withColumn("label_bin", (dot > 0).cast("double"))
+    # r17 optimization (guide §2.4): ``labeled`` is consumed by the fit,
+    # the test-set transform and the split-count aggregate — without
+    # materialization each re-runs the 64-element weight fold and the
+    # vector conversion from lineage.
+    labeled = feats.withColumn(
+        "label_bin", (dot > 0).cast("double")
+    ).localCheckpoint(eager=False)
     is_test = F.pmod(F.col("vec_id"), F.lit(5)) == 0
     train = labeled.where(~is_test)
     test = labeled.where(is_test)
@@ -241,7 +251,8 @@ def ml_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="features", labelCol="label_bin", maxIter=15
     )
     model = lr.fit(train)
-    scored = model.transform(test)
+    # both evaluators aggregate over the scored frame — one model pass
+    scored = model.transform(test).localCheckpoint(eager=False)
     acc = MulticlassClassificationEvaluator(
         labelCol="label_bin", metricName="accuracy"
     ).evaluate(scored)

@@ -96,22 +96,40 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.range(1).select(
         F.lit(SSSP_SEED).alias("node"), F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(SSSP_HOPS):
-        relax = (
-            F.broadcast(dist)
-            .join(edges, dist.node == edges.u)
-            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        dist = (
-            dist.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    # r17 optimization: the per-round min-merge shuffles only the NODE-
+    # sized distance relation (edges are stationary under the broadcast
+    # join), so the iteration runs at 8 shuffle partitions — the
+    # graph_pagerank/_star_rounds convention; at the session default
+    # each of the 4 rounds pays 32 near-empty reduce tasks of pure
+    # scheduling tax. Every round materializes inside the scope
+    # (localCheckpoint eager), so the scope covers all execution.
+    from ..session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        for _ in range(SSSP_HOPS):
+            relax = (
+                F.broadcast(dist)
+                .join(edges, dist.node == edges.u)
+                .select(
+                    F.col("v").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionByName(relax)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
     return dist
 
 
 ER_MAX_EDIT = 2
+# Name relations at or under this size solve their transitive closure on
+# the driver (union-find) instead of running the distributed fixpoint —
+# same hybrid-finish convention (and rationale) as clusters.py's
+# LOCAL_EDGE_CUTOFF. Pass 0 to force the distributed path.
+ER_LOCAL_CUTOFF = 100_000
 
 
 @register(
@@ -147,17 +165,20 @@ ER_MAX_EDIT = 2
     "DISTINCT names only (the 100 TB insight: attribute cardinality, "
     "not row count, drives matching — 64 names here, and the "
     f"levenshtein ≤ {ER_MAX_EDIT} pair join runs on that tiny distinct "
-    "relation, never on parts); (2) min-label propagation to fixpoint "
-    "over the match graph (same alternating contract as "
-    "operators/clusters.py, converging in diameter rounds on a "
-    "broadcast-sized relation); (3) one broadcast join maps every part "
+    "relation, never on parts); (2) transitive clustering over the "
+    "match graph — a driver union-find when the name relation fits the "
+    "probe cutoff (the clusters.py hybrid finish), min-label "
+    "propagation to fixpoint as the distributed fallback; "
+    "(3) one broadcast join maps every part "
     "row to its cluster representative and aggregates (names, rows, "
     "min key, exact retail cents). Oracle: recursive-CTE transitive "
     "closure + min() — exact because edit distances and the closure "
     "are integers/sets, no scores to drift.",
     tags=("dedup", "graph", "er", "text"),
 )
-def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_resolve_parts(
+    spark: SparkSession, sf_dir: str, local_cutoff: int = ER_LOCAL_CUTOFF
+) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     names = part.select(F.col("p_name").alias("name")).distinct()
     a, b = names.alias("a"), names.alias("b")
@@ -173,29 +194,63 @@ def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.name").alias("u"), F.col("b.name").alias("v"))
         .localCheckpoint(eager=True)
     )
-    # min-label propagation: rep(x) ← min(rep(x), min rep over neighbors)
-    labels = names.select("name", F.col("name").alias("rep"))
-    while True:
-        prop = (
-            pairs.join(labels, pairs.u == labels.name)
-            .select(F.col("v").alias("name"), "rep")
-            .unionByName(labels)
-            .groupBy("name")
-            .agg(F.min("rep").alias("rep"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            prop.alias("n")
-            .join(
-                labels.alias("o"),
-                (F.col("n.name") == F.col("o.name"))
-                & (F.col("n.rep") != F.col("o.rep")),
+    # r17 optimization: the match graph is DISTINCT-NAME-sized (attribute
+    # cardinality, not row count — the module's own 100 TB insight), so
+    # the transitive closure is solved with one driver union-find when
+    # the name relation fits ``local_cutoff`` (the clusters.py hybrid-
+    # finish convention: limit(cutoff+1) probe, distributed loop as the
+    # fallback). Before: 3-6 fixpoint rounds × (join + union + groupBy +
+    # checkpoint + change-count), each a full job at tiny data sizes.
+    labels = None
+    if local_cutoff:
+        head = names.limit(local_cutoff + 1).collect()
+        if len(head) <= local_cutoff:
+            edge_rows = pairs.collect()  # ≤ names² worst case, name-sized here
+            parent: dict = {r["name"]: r["name"] for r in head}
+
+            def find(x: str) -> str:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in edge_rows:
+                ru, rv = find(r["u"]), find(r["v"])
+                if ru != rv:  # union by min so the root IS the min label
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            labels = spark.createDataFrame(
+                [(n, find(n)) for n in parent],
+                schema="name string, rep string",
             )
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
+    if labels is None:
+        # min-label propagation: rep(x) ← min(rep(x), min rep over nbrs)
+        labels = names.select("name", F.col("name").alias("rep"))
+        while True:
+            prop = (
+                pairs.join(labels, pairs.u == labels.name)
+                .select(F.col("v").alias("name"), "rep")
+                .unionByName(labels)
+                .groupBy("name")
+                .agg(F.min("rep").alias("rep"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                prop.alias("n")
+                .join(
+                    labels.alias("o"),
+                    (F.col("n.name") == F.col("o.name"))
+                    & (F.col("n.rep") != F.col("o.rep")),
+                )
+                .count()
+            )
+            labels = prop
+            if changed == 0:
+                break
     clustered = part.join(
         F.broadcast(labels), part.p_name == labels.name
     )

@@ -171,16 +171,27 @@ def fold_scd2(scd: DataFrame, delta: DataFrame, version: int) -> DataFrame:
     NULL = open). Changed keys' OPEN intervals close at ``version``;
     each non-delete change opens a new interval [version, NULL). Closed
     intervals pass through untouched — the fold is sized to the CDF."""
-    changed = delta.select("c_custkey").distinct()
-    closed = (
-        scd.join(changed, "c_custkey", "left_semi")
-        .where(F.col("valid_to").isNull())
-        .withColumn("valid_to", F.lit(version).cast("long"))
+    # r17 optimization (guide §2.4): close-or-carry is ONE outer join,
+    # not three (semi+anti+semi of the same scd/changed pair) — a left
+    # join against the distinct changed keys tags each history row once,
+    # and a single conditional projection closes the open intervals of
+    # changed keys while passing everything else through. Identical rows
+    # (the three old branches partitioned exactly this case split); the
+    # per-fold plan drops two joins and one union.
+    changed = delta.select("c_custkey").distinct().withColumn(
+        "_chg", F.lit(True)
     )
-    untouched = scd.join(changed, "c_custkey", "left_anti").unionByName(
-        scd.join(changed, "c_custkey", "left_semi").where(
-            F.col("valid_to").isNotNull()
+    carried = scd.join(changed, "c_custkey", "left").select(
+        "c_custkey",
+        "cents",
+        "merged",
+        "valid_from",
+        F.when(
+            F.col("_chg").isNotNull() & F.col("valid_to").isNull(),
+            F.lit(version).cast("long"),
         )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
     )
     opened = delta.where(F.col("post_acctbal_cents").isNotNull()).select(
         "c_custkey",
@@ -189,7 +200,7 @@ def fold_scd2(scd: DataFrame, delta: DataFrame, version: int) -> DataFrame:
         F.lit(version).cast("long").alias("valid_from"),
         F.lit(None).cast("long").alias("valid_to"),
     )
-    return untouched.unionByName(closed).unionByName(opened)
+    return carried.unionByName(opened)
 
 
 @register(

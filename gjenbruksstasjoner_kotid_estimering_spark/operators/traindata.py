@@ -472,10 +472,15 @@ def semantic_dedup_frame(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    # r17 optimization (guide §2.4): ``assigned`` feeds BOTH self-join
+    # sides and the final keep-join — without materialization each
+    # consumer re-runs the KMeans center-distance projection and the
+    # 64-element norm fold (3× per vector). One pass, vector-count rows.
     assigned = (
         km.fit(fit_input)
         .transform(feats)
         .select("vec_id", "cluster", "embedding", norm_of.alias("nrm"))
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"),

@@ -179,7 +179,14 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
-    sh = d.select("doc_id", shingles_col(F.col("text")).alias("s"))
+    # r17 optimization (guide §2.4): the shingle relation feeds the
+    # explode AND both scoring-join sides — materialize it once instead
+    # of re-running the split/transform chain per consumer (the LSH-lane
+    # convention: signature/shingle relations are doc-count-sized, the
+    # cheap side of the trade at any scale).
+    sh = d.select(
+        "doc_id", shingles_col(F.col("text")).alias("s")
+    ).localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("s").alias("g"))
     df_counts = (
         ex.groupBy("g")
@@ -201,6 +208,9 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("df") <= RARE_DF_CAP)
         )
         .select("doc_id", "g")
+        # ≤ RARE_KEYS_PER_DOC rows per doc, consumed by both candidate
+        # self-join sides — one rank-window pass instead of two
+        .localCheckpoint(eager=False)
     )
     cand = (
         rare.alias("a")

@@ -364,15 +364,33 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this operator is the exact contract.",
     tags=("events", "anomaly", "median", "window"),
 )
-def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_anomaly_mad(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "value",
     )
+
+    def ck(df: DataFrame) -> DataFrame:
+        # ``materialize=False`` keeps the full logical plan visible for
+        # the structural pytest (windows-over-bins pin); the registry
+        # row always runs materialized.
+        return df.localCheckpoint(eager=False) if materialize else df
     rank = F.expr("(n + 1) div 2")
-    bins = e.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).alias("c"), F.min("value").alias("value")
+    # r17 optimization (guide §2.4): the bin relation feeds BOTH the
+    # median path and the deviation path, and the deviation relation
+    # feeds BOTH the MAD order statistic and the final rollup — without
+    # materialization each consumer re-runs the upstream aggregate (the
+    # before plan, plans/r17/events_anomaly_mad_before.txt, shows the
+    # events scan twice and the cumulative windows 5×). All three frames
+    # are domain-bounded (≤ value_range·100 bins per group by the cents
+    # contract), so materializing them is O(bins), not O(events).
+    bins = ck(
+        e.groupBy("event_type", "cents").agg(
+            F.count(F.lit(1)).alias("c"), F.min("value").alias("value")
+        )
     )
     wt = Window.partitionBy("event_type")
     wv = wt.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
@@ -384,9 +402,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wt).alias("n"),
     )
     # the median bin is the one whose cumulative range covers the rank
-    med = binc.where(
-        (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank)
-    ).select("event_type", F.col("value").alias("med"), "n")
+    med = ck(  # group-count-sized, consumed 2×
+        binc.where(
+            (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank)
+        ).select("event_type", F.col("value").alias("med"), "n")
+    )
     devb = (
         bins.join(F.broadcast(med), "event_type")
         .select(
@@ -398,6 +418,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n", "dev")
         .agg(F.sum("c").alias("c"))
     )
+    devb = ck(devb)  # dev-bin-sized, consumed 2×
     wd = wt.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
     devc = devb.select(
         "event_type", "n", "dev", "c", F.sum("c").over(wd).alias("cum")

@@ -296,10 +296,12 @@ TOP_BASKET_PAIRS = 100
     """,
     doc="Market-basket association rules over order baskets: co-purchased "
     "part pairs with support, confidence and lift (exact integer counts; "
-    "each statistic one fixed-order division chain). Pair generation is "
-    "an order-keyed self-join whose per-order fan-out is C(items,2) — "
-    "TPC-H orders hold ≤7 items, and real baskets are similarly tiny, "
-    "so the pair space is linear in orders at any scale; min-support "
+    "each statistic one fixed-order division chain). Pair generation "
+    "collects each order's distinct item set with one exchange and "
+    "emits the C(items,2) pairs map-side from the sorted array — TPC-H "
+    "orders hold ≤7 items, and real baskets are similarly tiny, so the "
+    "pair space is linear in orders at any scale and no order-keyed "
+    "self-join (a second+third basket shuffle) is needed; min-support "
     "pruning happens IN the pair aggregate (HAVING) before the "
     "dimension joins, and the bounded result is TakeOrdered. The "
     "item-count and order-count sides are item-/one-row-sized and "
@@ -307,29 +309,46 @@ TOP_BASKET_PAIRS = 100
     tags=("stats", "basket", "association", "join"),
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
+    # r17 optimization (guide §2.3 "aggregate before you shuffle" /
+    # §2.4 "remove shuffles outright"): baskets are tiny (TPC-H orders
+    # hold ≤7 distinct parts), so pair generation needs no order-keyed
+    # SELF-JOIN at all — collect each order's distinct item set with ONE
+    # exchange on l_orderkey (collect_set dedups, replacing the old
+    # distinct's separate exchange) and emit the C(items,2) pairs
+    # map-side from the sorted array. Before: 5 exchanges incl. a
+    # duplicate-basket shuffle join; after: 3 (set build, pair count,
+    # item count) — and at 100 TB the basket relation crosses the
+    # network once instead of three times.
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    ).localCheckpoint(eager=False)  # reused by pairs + item counts + n
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=False)  # reused by pairs + item counts + n
+    )
     # one-row order count folded back via broadcast cross join (the
     # text_bm25_rank stats pattern) — no eager driver-side action at
     # plan-build time, no snapshot constant baked into the plan
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_counts = (
+        sets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    item_counts = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_item")
-    )
-    a = baskets.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    # sorted array ⇒ part_a < part_b for i < j by construction
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size("items")),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        sets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= MIN_PAIR_SUPPORT)

@@ -168,9 +168,16 @@ def test_anomaly_mad_windows_are_bin_sized(spark):
     never raw event rows: every Window node sits ABOVE an Aggregate in
     the optimized plan (children print below parents), and the
     first-stage Aggregate groups on the integer cents key — the
-    domain-bounded support the r8 verdict asked for."""
+    domain-bounded support the r8 verdict asked for.
+
+    Run with ``materialize=False`` so the full logical plan is visible:
+    the shipped (default) form lazily checkpoints the bin relations
+    (r17 optimization — one aggregate pass instead of one per
+    consumer), which replaces the windows' subtrees with the
+    materialized-RDD scan; test_anomaly_mad_materialized_windows_read_bins
+    pins THAT form's property."""
     plan = (
-        events_anomaly_mad(spark, SF)
+        events_anomaly_mad(spark, SF, materialize=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -213,6 +220,55 @@ def test_anomaly_mad_windows_are_bin_sized(spark):
         and "cents#" in lines[i].split("], [")[0]
         for i, _, t in nodes
     ), plan
+
+
+def test_anomaly_mad_materialized_windows_read_bins(spark):
+    """The shipped form (materialize=True, the registry row) replaces
+    each reused bin relation with ONE lazily checkpointed RDD: every
+    Window in the optimized plan must read a materialized bin relation
+    (LogicalRDD carrying the bin count column), and no raw event
+    column (event_id/user_id/ts) may appear anywhere in the final
+    plan's leaves — the window support stays domain-bounded AND is
+    computed exactly once."""
+    plan = (
+        events_anomaly_mad(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LogicalRDD" in plan, plan  # bins materialized exactly once
+    for raw_col in ("event_id#", "user_id#", "ts#"):
+        assert raw_col not in plan, (
+            f"raw event column {raw_col} leaked into the final plan\n{plan}"
+        )
+    import re
+
+    # every Window's direct subtree bottoms out in a checkpointed
+    # relation that carries the bin count column c#, not raw rows
+    lines = plan.splitlines()
+    nodes = []
+    for i, line in enumerate(lines):
+        m = re.match(r"^([ :+\-]*)([A-Za-z]\w*)", line)
+        if m:
+            nodes.append((i, len(m.group(1)), m.group(2)))
+    windows = [(i, d) for i, d, t in nodes if t == "Window"]
+    assert windows, plan
+    for wi, wd in windows:
+        subtree = [
+            (i, t)
+            for i, d, t in nodes
+            if i > wi and d > wd
+        ]
+        # stop at the first sibling boundary
+        cut = len(subtree)
+        for j, (i, _) in enumerate(subtree):
+            if any(i2 == i and d2 <= wd for i2, d2, _ in nodes):
+                cut = j
+                break
+        subtree = subtree[:cut]
+        assert any(
+            t == "LogicalRDD" and "c#" in lines[i] for i, t in subtree
+        ), f"Window at line {wi} does not read a materialized bin relation\n{plan}"
 
 
 def test_anomaly_mad_cents_form_on_random_2dp_corpora_hypothesis(spark, tmp_path):
