@@ -18,6 +18,8 @@ stream_tumbling_window_true 3.91s first run → 1.78-1.89s steady).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves string type hints in warm_python_lanes
+
 # Registry rows run untimed before the sweep. Their timed sweep entries
 # carry a JIT/cache advantage by design — bench.py records them under
 # "prewarmed" so per-query readers discount them.
@@ -133,7 +135,11 @@ def warm_python_lanes(spark) -> None:
     per-row timings then measure steady-state plans for every row of
     those families alike.
     """
-    import pandas as pd
+    # Module-level ``pd`` (below) is required: with ``from __future__
+    # import annotations`` every hint is a string, and pandas_udf resolves
+    # them against the function's module globals — a function-local
+    # ``import pandas as pd`` leaves 'pd.Series' unresolvable
+    # (UNSUPPORTED_SIGNATURE at session warmup, r17 inherited-state fix).
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf, udf, udtf
 

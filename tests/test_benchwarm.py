@@ -28,6 +28,16 @@ def test_warmup_covers_a_streaming_row():
     assert any(n.startswith("stream_") for n in benchwarm.WARMUP)
 
 
+def test_warm_python_lanes_runs(spark):
+    """warm_python_lanes must execute end-to-end in a live session: two
+    r17 variants broke at CALL time (string type hints unable to resolve
+    a function-local ``pd``, then an unimported PandasUDFType) while the
+    suite stayed green — bench.py only ever runs the warmup inside its
+    try/except, which degrades to warmup_ok=False and a non-comparable
+    sweep instead of a loud failure. This is the loud failure."""
+    benchwarm.warm_python_lanes(spark)
+
+
 def test_settle_batch_row_pays_zero_sleep(monkeypatch):
     """A batch row with no listener movement must return without sleeping
     — 300 batch rows × any fixed sleep would distort the sweep wall."""
