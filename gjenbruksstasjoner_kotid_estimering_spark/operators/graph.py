@@ -349,7 +349,10 @@ def bfs_distances(
     tags=("graph", "iterative", "bfs"),
 )
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import scoped_shuffle_partitions
+
     li = load_table(spark, sf_dir, "lineitem")
+    # The edge distinct is fact-sized — it runs at the session width.
     edges = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
@@ -359,4 +362,10 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(f"s:{BFS_SEED_SUPPKEY}").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     )
-    return bfs_distances(edges, seed, BFS_MAX_DEPTH)
+    # Per-round state (frontier/visited distinct + anti-join) is
+    # NODE-sized — the rounds run at the scoped width the other
+    # iterative graph ops (pagerank, sssp, star rounds) already use;
+    # every round materializes eagerly inside bfs_distances, so the
+    # scope covers all execution. Sized by state volume, not core count.
+    with scoped_shuffle_partitions(spark, 8):
+        return bfs_distances(edges, seed, BFS_MAX_DEPTH)

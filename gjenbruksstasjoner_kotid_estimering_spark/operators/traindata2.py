@@ -136,9 +136,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "incremental", "traindata"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the fingerprint projection once: the existing-corpus
+    # side and the new-batch side carry DISJOINT source filters, but each
+    # side's scan still decodes the full text column to md5 it (2 full
+    # text decodes, measured r17). The materialized frame is ~50
+    # bytes/doc (no text) — the classic shuffle-keys-not-payloads shape.
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     is_existing = F.col("source").isin("src0", "src1")
     existing = d.where(is_existing).select("fp").distinct()
     novel = d.where(~is_existing).join(existing, "fp", "left_anti")
@@ -212,10 +217,14 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the source-cardinality aggregate once: the totals row
+    # and the final projection both consume it, and each consumer re-ran
+    # the full-corpus tokenize+count from its own scan (2 passes,
+    # measured r17).
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_col(F.col("text"))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_src.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_sources"),

@@ -148,6 +148,13 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "seg"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "seg")
+    # Materialize the segment explosion once: it feeds the keep-first
+    # aggregate AND the join-back probe side, and the two subtrees are
+    # not exchange-reusable — without this the tokenize+slice+posexplode
+    # chain ran twice from two documents scans (measured r17). The
+    # materialized frame is the same rows the seg-keyed shuffle ships
+    # anyway.
+    segs = segs.localCheckpoint(eager=False)
     # Keep-first = occurrence o equals the segment's global min(o) —
     # groupBy + equi-join back rather than row_number over
     # Window.partitionBy(seg): a corpus-viral segment would make the

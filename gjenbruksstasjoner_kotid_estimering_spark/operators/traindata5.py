@@ -133,7 +133,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # Materialize the source-cardinality counts once: consumed by the
+    # totals row AND the broadcast join side, each of which re-scanned
+    # documents to rebuild it (3 scans total, measured r17).
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s")
+    ).localCheckpoint(eager=False)
     tot = per_source.agg(
         F.sum("n_s").alias("n_total"),
         F.count(F.lit(1)).alias("n_sources"),

@@ -74,6 +74,10 @@ def _median_x2_udf():
     tags=("udf", "udaf", "pandas", "arrow", "agg"),
 )
 def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the 2-column projection once: Spark refuses to mix a
+    # built-in aggregate with a grouped-agg pandas UDF in one agg(), so
+    # the JVM side and the Python side must stay separate aggregates —
+    # but they re-scanned events independently (2 fact passes, r17).
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -81,6 +85,7 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
+        .localCheckpoint(eager=False)
     )
     median_x2 = _median_x2_udf()
     jvm_side = ev.groupBy("event_type").agg(

@@ -60,19 +60,46 @@ from ..registry import register
     doc="Exact median (interpolating percentile, exact on the corpus's "
     "integral quantities) + deterministic mode per return flag. Mode "
     "tie-breaks (count DESC, value ASC) explicitly because built-in "
-    "mode() resolves ties engine-specifically. Scale shape: the mode "
-    "pre-count groups on (flag, qty) — bounded fan-in — and the rank "
-    "window runs over those few hundred rows, never over raw lineitem.",
+    "mode() resolves ties engine-specifically. Scale shape (r17): ONE "
+    "lineitem pass builds the (flag, qty, cnt) relation — bounded "
+    "fan-in, partial-aggregated map-side — and BOTH order statistics "
+    "derive from those few hundred rows: the mode by a rank window, the "
+    "median by the interpolating-percentile identity over cumulative "
+    "counts (v@floor + frac·(v@ceil − v@floor) at position (n−1)/2 — "
+    "exact, same definition as median()). The before-shape ran a second "
+    "full lineitem pass just for median/count.",
     tags=("agg", "orderstats"),
 )
 def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.median("l_quantity").alias("median_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    counts = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # one fact pass, consumed twice
     )
-    counts = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("cnt")
+    wf = Window.partitionBy("l_returnflag")
+    wo = wf.orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("n", F.sum("cnt").over(wf)).withColumn(
+        "cum", F.sum("cnt").over(wo)
+    )
+    # 0-based interpolation position r = (n-1)/2; v1/v2 are the values
+    # covering floor(r)/ceil(r) — the smallest qty whose cumulative
+    # count exceeds the index (values ascend with cum, so min-when is
+    # exactly "value at sorted position k").
+    k1 = F.floor((F.col("n") - 1) / 2)
+    k2 = F.ceil((F.col("n") - 1) / 2)
+    med = cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.min(F.when(F.col("cum") > k1, F.col("l_quantity"))).alias("v1"),
+        F.min(F.when(F.col("cum") > k2, F.col("l_quantity"))).alias("v2"),
+    ).select(
+        "l_returnflag",
+        F.when(F.col("n_rows") % 2 == 1, F.col("v1"))
+        .otherwise(F.col("v1") + (F.col("v2") - F.col("v1")) * 0.5)
+        .alias("median_qty"),
+        "n_rows",
     )
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("cnt").desc(), F.col("l_quantity")

@@ -411,9 +411,13 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
+    # The 3 x CMS_WIDTH bucket matrix is consumed once PER SEED by the
+    # broadcast maps below — without materialization each per-seed slice
+    # re-ran the explode+groupBy from its own orders scan (4 scans
+    # total, measured r17). Materialize the <=6144-row matrix once.
     matrix = exploded.groupBy("seed", "bucket").agg(
         F.count(F.lit(1)).alias("bucket_n")
-    )
+    ).localCheckpoint(eager=False)
     exact = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
     )

@@ -93,25 +93,36 @@ from ..registry import register
     tags=("stats", "rank", "window", "exact"),
 )
 def stat_spearman_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Doubled average rank via ONE window spec per variable (r17): with
+    # rank() over (grp ORDER BY x) + count() over (grp, x), each
+    # variable needs TWO window groups and Catalyst interleaves the four
+    # into x,y,x,y — four full-relation sorts (and a DOUBLE partition
+    # key additionally sorts by knownfloatingpointnormalized(x), a
+    # different key than the rank window's raw x). Instead both pieces
+    # come from RANGE frames over the SAME (grp ORDER BY x) spec —
+    # count(range unbounded..current) counts u<=v ties included,
+    # count(range current..current) counts the tie group — and
+    # 2·count_le − cnt + 1 ≡ 2·rank + cnt − 1. One Window group per
+    # variable: one exchange + two sorts (was four). x rides as integer
+    # cents (order/tie-isomorphic for the <=2-decimal domain).
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
-        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     wx = Window.partitionBy("grp").orderBy("x")
-    wxt = Window.partitionBy("grp", "x")
     wy = Window.partitionBy("grp").orderBy("y")
-    wyt = Window.partitionBy("grp", "y")
+    one = F.count(F.lit(1))
+    le_x = one.over(wx.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    le_y = one.over(wy.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    cx = one.over(wx.rangeBetween(Window.currentRow, Window.currentRow))
+    cy = one.over(wy.rangeBetween(Window.currentRow, Window.currentRow))
     ranked = li.select(
         "grp",
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1).alias(
-            "rx2"
-        ),
-        F.count(F.lit(1)).over(wxt).alias("cx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1).alias(
-            "ry2"
-        ),
-        F.count(F.lit(1)).over(wyt).alias("cy"),
+        (2 * le_x - cx + 1).alias("rx2"),
+        cx.alias("cx"),
+        (2 * le_y - cy + 1).alias("ry2"),
+        cy.alias("cy"),
     )
     d = F.col("rx2") - F.col("ry2")
     return ranked.groupBy("grp").agg(

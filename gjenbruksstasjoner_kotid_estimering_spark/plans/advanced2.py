@@ -548,11 +548,14 @@ def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # Materialize the triple-filtered slice once: the spine bounds and
+    # the slot aggregate each re-scanned events to rebuild it (2 fact
+    # passes, measured r17); the slice is a handful of users' error rows.
     ev = load_table(spark, sf_dir, "events").where(
         (F.col("user_id") < 5)
         & (F.col("event_type") == "error")
         & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
-    )
+    ).localCheckpoint(eager=False)
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
         F.date_trunc("hour", F.max("ts")).alias("t1"),

@@ -626,11 +626,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
+    # Materialize the supplier-count-sized revenue aggregate once: the
+    # max-subquery side and the join side are NOT exchange-reusable (the
+    # join pushes an extra IsNotNull(l_suppkey) into its scan, so the
+    # two subtrees canonicalize differently) — without this the quarter
+    # of lineitem is scanned and aggregated twice (measured r17).
     revenue = li.groupBy("l_suppkey").agg(
         F.sum(
             _rev_cents(F.col("l_extendedprice"), F.col("l_discount"))
         ).alias("total_rev_cents")
-    )
+    ).localCheckpoint(eager=False)
     best = revenue.agg(F.max("total_rev_cents").alias("best_cents"))
     s = load_table(spark, sf_dir, "supplier")
     return (
