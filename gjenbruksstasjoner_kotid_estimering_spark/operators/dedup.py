@@ -317,16 +317,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array is empty iff the doc has < 2 tokens — same predicate as the
     # oracle's len(bigrams) > 0, but only a cheap split() moves below the
     # exchange.
-    # Materialize the shingle relation ONCE (r17 optimization, guide §2.4 /
-    # §8): without this the plan recomputes the bigram arrays on BOTH
-    # scoring-join sides and under both band sides — the before-plan
-    # (plans/r17/dedup_ngram_jaccard_before.txt) shows the shingle
-    # Generate chain 4× and the 15-min md5 aggregate 2× above one reused
-    # scan exchange. The fingerprint→candidates→verify pipelines in
-    # production materialize exactly this relation between passes.
+    # NOTE (r17): a localCheckpoint of this relation was tried (static plan
+    # shows the shingle Generate chain 4×) and REVERTED after an isolated
+    # sf0.1 A/B — caching the array-heavy bigram rows costs more in
+    # serialization/GC than the recompute saves (old 2.3–3.9s vs
+    # checkpointed 5.7–17.7s at matched steal), the exact r9 finding
+    # recorded in scripts/rescan_audit.py: runtime ReusedExchange already
+    # deduplicates the identical aggregate subtrees.
     grams = d.where(F.size(tokens_col(F.col("text"))) >= 2).select(
         "doc_id", shingles_col(F.col("text"), k=2).alias("bigrams")
-    ).localCheckpoint(eager=False)
+    )
     sigs = md5_minhash_sigs(grams)
     # Band hashes reference the h* aggregate columns directly (cheap
     # attribute refs — no expression re-duplication under CollapseProject).
@@ -351,13 +351,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_val").localCheckpoint(
-        # doc-count × 5 band rows, 3 small columns: the self-join below
-        # otherwise evaluates the MinHash aggregate once per side (the
-        # simhash sigs trade — materializing the tiny signature relation
-        # is the cheap side at any scale).
-        eager=False
-    )
+    ).select("doc_id", "band.band_id", "band.band_val")
     lb, rb = bands.alias("lb"), bands.alias("rb")
     cand = (
         lb.join(
