@@ -253,26 +253,19 @@ def _pivot_bands(base: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val").localCheckpoint(
-        # r17 optimization (guide §2.4): the ``bits`` projection folds
-        # N_PIVOTS(40)×dim interpreted dot products per vector (higher-
-        # order functions don't codegen), and the candidate self-join
-        # consumes this frame on BOTH sides — materialize the tiny
-        # (vec_id, band_id, band_val) relation once instead of running
-        # the pivot fold twice.
-        eager=False
-    )
+    ).select("vec_id", "band.band_id", "band.band_val")
+    # NOTE (r17): a localCheckpoint here was tried and REVERTED — the
+    # candidate self-join's two sides are IDENTICAL subtrees, so runtime
+    # exchange reuse already evaluates the pivot fold once; a
+    # 5×-interleaved warm A/B at sf0.1 read no-cp ≤ cp on every repeat
+    # for both consumers (dedup_embedding_cosine 1.69 vs 1.83s min,
+    # similarity_knn_join 1.37 vs 1.54s min).
 
 
 def _pivot_normed(base: DataFrame) -> DataFrame:
     return base.select(
         "vec_id", "v", F.sqrt(_fold_dot(F.col("v"), F.col("v"))).alias("norm")
-    ).localCheckpoint(
-        # r17 optimization: consumed twice (both sides of the candidate
-        # scoring join) — one interpreted norm fold per vector instead
-        # of two, and the scan isn't re-read per side.
-        eager=False
-    )
+    )  # no checkpoint: identical-subtree consumers, reuse covers it (r17 A/B)
 
 
 @register(

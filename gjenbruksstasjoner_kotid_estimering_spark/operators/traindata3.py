@@ -179,14 +179,14 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), keys=["doc_id"])
-    # r17 optimization (guide §2.4): the shingle relation feeds the
-    # explode AND both scoring-join sides — materialize it once instead
-    # of re-running the split/transform chain per consumer (the LSH-lane
-    # convention: signature/shingle relations are doc-count-sized, the
-    # cheap side of the trade at any scale).
-    sh = d.select(
-        "doc_id", shingles_col(F.col("text")).alias("s")
-    ).localCheckpoint(eager=False)
+    # NOTE (r17): localCheckpoints on this relation and on `rare` were
+    # tried (static plan: 20→6 Exchanges) and REVERTED — a 6×-interleaved
+    # warm A/B at sf0.1 read no-cp ≤ cp on every statistic (min 1.85 vs
+    # 2.14s, median 2.4 vs 2.6s): runtime exchange reuse already covers
+    # the duplicated subtrees, and caching the array-heavy shingle rows
+    # costs more than the recompute it saves (the r9 rescan-audit
+    # finding).
+    sh = d.select("doc_id", shingles_col(F.col("text")).alias("s"))
     ex = sh.select("doc_id", F.explode("s").alias("g"))
     df_counts = (
         ex.groupBy("g")
@@ -208,9 +208,6 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("df") <= RARE_DF_CAP)
         )
         .select("doc_id", "g")
-        # ≤ RARE_KEYS_PER_DOC rows per doc, consumed by both candidate
-        # self-join sides — one rank-window pass instead of two
-        .localCheckpoint(eager=False)
     )
     cand = (
         rare.alias("a")

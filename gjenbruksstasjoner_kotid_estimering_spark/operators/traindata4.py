@@ -148,13 +148,12 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "seg"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "seg")
-    # Materialize the segment explosion once: it feeds the keep-first
-    # aggregate AND the join-back probe side, and the two subtrees are
-    # not exchange-reusable — without this the tokenize+slice+posexplode
-    # chain ran twice from two documents scans (measured r17). The
-    # materialized frame is the same rows the seg-keyed shuffle ships
-    # anyway.
-    segs = segs.localCheckpoint(eager=False)
+    # NOTE (r17): a localCheckpoint here was tried and REVERTED — the
+    # keep-first aggregate and the join-back probe both shuffle by seg
+    # over the IDENTICAL segs child, so runtime exchange reuse already
+    # runs the tokenize+slice+posexplode chain once; a 5×-interleaved
+    # warm A/B at sf0.1 read no-cp ≤ cp on every repeat (1.20 vs 1.30s
+    # min).
     # Keep-first = occurrence o equals the segment's global min(o) —
     # groupBy + equi-join back rather than row_number over
     # Window.partitionBy(seg): a corpus-viral segment would make the
