@@ -21,6 +21,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import re
 import sys
 import time
 
@@ -70,6 +71,67 @@ def summary_line(timings, errors, warmup_ok, sf_val, cpu_steal=None) -> dict:
     if cpu_steal and cpu_steal.get("steal_of_busy") is not None:
         line["steal_of_busy"] = cpu_steal["steal_of_busy"]
     return line
+
+
+def measure_harness_floor(spark, sf_dir: str, repeats: int = 5) -> dict:
+    """Per-row fixed harness cost in THIS warm session (r17 verdict #7).
+
+    Every timed row pays a floor that has nothing to do with its plan's
+    data work: builder call + Catalyst analysis/optimization + codegen +
+    noop-sink job launch. Measure it directly with two trivial probes —
+    a JVM-only row (range → noop: pure plan-compile + job-launch cost)
+    and a one-file parquet scan row (adds file-listing + scan-task cost,
+    the floor every registry row actually stands on). min over
+    ``repeats`` (the floor is a lower bound; max/median carry scheduler
+    noise). Runs UNTIMED between warmup and the sweep; the numbers let a
+    sidecar reader discount the ~60-row 1–2s mid-band instead of
+    hunting plan waste inside what is mostly fixed per-query overhead."""
+    from gjenbruksstasjoner_kotid_estimering_spark.io import load_table
+
+    def time_min(build) -> float:
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 4)
+
+    try:
+        from pyspark.sql import functions as F
+
+        jvm_only = time_min(
+            lambda: spark.range(64).select(
+                F.col("id"), (F.col("id") % 7).alias("m")
+            )
+        )
+        scan = time_min(
+            lambda: load_table(spark, sf_dir, "region").select("r_regionkey")
+        )
+        return {"jvm_noop_min_s": jvm_only, "parquet_scan_min_s": scan,
+                "repeats": repeats}
+    except Exception as exc:  # noqa: BLE001 — diagnostics only
+        print(f"bench: harness-floor probe failed: {exc}", file=sys.stderr)
+        return {}
+
+
+def round_sidecar_path(repo_dir: str) -> str | None:
+    """Per-round persistent copy of the full sidecar (r17 verdict #2a).
+
+    bench_full.json is overwritten by every run, so the driver's PERF
+    comparison has historically seen only the summary line's 5 slowest
+    rows (n_common=1 in PERF_r17). The driver commits BENCH_r{N}.json
+    sidecars per round; the round a fresh bench run belongs to is
+    therefore 1 + the newest committed BENCH round. Returns None when no
+    BENCH_r*.json exists (e.g. unit-test tmpdirs)."""
+    rounds = []
+    for n in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", n)
+        if m:
+            rounds.append(int(m.group(1)))
+    if not rounds:
+        return None
+    return os.path.join(repo_dir, f"bench_full_r{max(rounds) + 1:02d}.json")
 
 
 def _sweep(
@@ -226,6 +288,11 @@ def main() -> None:
         counter = None
         print(f"bench: stream listener unavailable: {exc}", file=sys.stderr)
 
+    # Untimed, after warmup: the fixed per-row harness floor this warm
+    # session pays (plan compile + noop job launch [+ scan]), so sidecar
+    # readers can discount the mid-band rows (r17 verdict #7).
+    harness_floor = measure_harness_floor(spark, sf_dir)
+
     # Steal window = the TIMED sweep only (r16 review): warmup and the
     # untimed rerun pass add 60-120s of wall that would dilute a steal
     # burst confined to the sweep — the ratio must describe the same
@@ -296,10 +363,20 @@ def main() -> None:
         cpu_steal=cpu_steal,
         row_steal=row_steal,
         second_run_row_steal=second_run_row_steal,
+        harness_floor=harness_floor,
     )
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(repo_dir, "bench_full.json")
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
+    # Per-round persistent copy (r17 verdict #2a): bench_full.json is
+    # clobbered by the next run, so the full per-query map of the
+    # driver's round-N sweep survives as bench_full_r{N}.json and PERF
+    # can compare every row instead of the summary line's slowest 5.
+    per_round = round_sidecar_path(repo_dir)
+    if per_round is not None:
+        with open(per_round, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
 
     print(json.dumps(line))
 
@@ -336,6 +413,7 @@ def full_sidecar(
     cpu_steal=None,
     row_steal=None,
     second_run_row_steal=None,
+    harness_floor=None,
 ) -> dict:
     """The bench_full.json sidecar (schema-pinned in tests/test_benchwarm.py).
 
@@ -417,6 +495,14 @@ def full_sidecar(
         "second_run_row_steal": (
             second_run_row_steal if second_run_row_steal is not None else {}
         ),
+        # Fixed per-row harness cost measured in THIS session (r17
+        # verdict #7): {"jvm_noop_min_s", "parquet_scan_min_s",
+        # "repeats"} — the floor a trivial plan pays for builder +
+        # Catalyst + codegen + noop job launch (+ one-file scan). A
+        # mid-band row near parquet_scan_min_s + its shuffle count ×
+        # jvm_noop_min_s is harness-floored, not plan-wasteful. {} when
+        # the probe failed.
+        "harness_floor_s": harness_floor if harness_floor is not None else {},
         "sf": sf_val,
     }
 

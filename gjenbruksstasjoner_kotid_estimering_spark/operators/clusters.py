@@ -173,10 +173,15 @@ def _star_rounds(e: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # output is already canonical: v > u >= m
+        # r18 (guide §2.5, r17 verdict #4): LAZY checkpoints through the
+        # round — the AQE stages still run at the checkpoint call (so
+        # the scoped width applies) but the final-stage/count job folds
+        # into the round's signature collect instead of one eager job
+        # per materialization.
         e1 = (
             large.where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # --- small-star: neighbors are all <= u in canonical orientation ---
         mins_s = e1.groupBy("u").agg(F.min("v").alias("mv"))
@@ -187,7 +192,7 @@ def _star_rounds(e: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(mins_s.select(F.col("u"), F.col("m").alias("v")))
         )
-        e = _canonical(small).localCheckpoint(eager=True)
+        e = _canonical(small).localCheckpoint(eager=False)
         rounds += 1
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),

@@ -115,11 +115,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("dist") + F.col("w")).alias("dist"),
                 )
             )
+            # r18 (guide §2.5, r17 verdict #4): LAZY checkpoint — round
+            # N's state materializes inside round N+1's broadcast build
+            # (and the final round inside the caller's action) instead
+            # of one eager driver job per round; lineage is truncated
+            # either way, and the round's two consumers (broadcast side
+            # + union branch) share the one persisted RDD.
             dist = (
                 dist.unionByName(relax)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     return dist
 
@@ -177,7 +183,10 @@ ER_LOCAL_CUTOFF = 100_000
     tags=("dedup", "graph", "er", "text"),
 )
 def er_resolve_parts(
-    spark: SparkSession, sf_dir: str, local_cutoff: int = ER_LOCAL_CUTOFF
+    spark: SparkSession,
+    sf_dir: str,
+    local_cutoff: int = ER_LOCAL_CUTOFF,
+    edge_cutoff: int | None = None,
 ) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     names = part.select(F.col("p_name").alias("name")).distinct()
@@ -203,9 +212,25 @@ def er_resolve_parts(
     # checkpoint + change-count), each a full job at tiny data sizes.
     labels = None
     if local_cutoff:
+        # r18 (r17 verdict #6): the node probe alone does not bound the
+        # collect — a pathological name distribution can emit O(names²)
+        # match edges even under the node cutoff, and pairs.collect()
+        # would pull all of them to the driver. Probe the EDGE relation
+        # with the same limit+cutoff convention; past the cutoff the
+        # distributed fixpoint below handles the closure. ``edge_cutoff``
+        # defaults to ``local_cutoff`` (one knob); it exists as a
+        # separate parameter because on real TPC-H names edges < names,
+        # so the fallback is only test-reachable with a lower edge bound
+        # (tests/test_advanced13.py).
+        ecut = local_cutoff if edge_cutoff is None else edge_cutoff
         head = names.limit(local_cutoff + 1).collect()
-        if len(head) <= local_cutoff:
-            edge_rows = pairs.collect()  # ≤ names² worst case, name-sized here
+        edge_head = (
+            pairs.limit(ecut + 1).collect()
+            if len(head) <= local_cutoff
+            else None
+        )
+        if edge_head is not None and len(edge_head) <= ecut:
+            edge_rows = edge_head  # the probe already holds every edge
             parent: dict = {r["name"]: r["name"] for r in head}
 
             def find(x: str) -> str:

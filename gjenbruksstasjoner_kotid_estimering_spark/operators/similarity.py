@@ -238,6 +238,12 @@ def _pivot_bands(base: DataFrame) -> DataFrame:
     bucketed = base.crossJoin(F.broadcast(pivots)).select(
         "vec_id", bits.alias("bits")
     )
+    # NOTE (r17): a localCheckpoint on the returned frame was tried and
+    # REVERTED — the candidate self-join's two sides are IDENTICAL
+    # subtrees, so runtime exchange reuse already evaluates the pivot
+    # fold once; a 5×-interleaved warm A/B at sf0.1 read no-cp ≤ cp on
+    # every repeat for both consumers (dedup_embedding_cosine 1.69 vs
+    # 1.83s min, similarity_knn_join 1.37 vs 1.54s min).
     return bucketed.select(
         "vec_id",
         F.explode(
@@ -254,12 +260,6 @@ def _pivot_bands(base: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "band.band_id", "band.band_val")
-    # NOTE (r17): a localCheckpoint here was tried and REVERTED — the
-    # candidate self-join's two sides are IDENTICAL subtrees, so runtime
-    # exchange reuse already evaluates the pivot fold once; a
-    # 5×-interleaved warm A/B at sf0.1 read no-cp ≤ cp on every repeat
-    # for both consumers (dedup_embedding_cosine 1.69 vs 1.83s min,
-    # similarity_knn_join 1.37 vs 1.54s min).
 
 
 def _pivot_normed(base: DataFrame) -> DataFrame:

@@ -148,12 +148,16 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "seg"),
     ).select("doc_id", F.col("idx").cast("long").alias("idx"), "seg")
-    # NOTE (r17): a localCheckpoint here was tried and REVERTED — the
-    # keep-first aggregate and the join-back probe both shuffle by seg
-    # over the IDENTICAL segs child, so runtime exchange reuse already
-    # runs the tokenize+slice+posexplode chain once; a 5×-interleaved
-    # warm A/B at sf0.1 read no-cp ≤ cp on every repeat (1.20 vs 1.30s
-    # min).
+    # NOTE (r17, reworded r18 per ADVICE): a localCheckpoint here was
+    # tried and REVERTED on measurement — a 5×-interleaved warm A/B at
+    # sf0.1 read no-cp ≤ cp on every repeat (1.20 vs 1.30s min): the
+    # checkpoint's materialization of the exploded segment rows cost
+    # more than it saved at this scale. The tokenize+slice+posexplode
+    # chain DOES run twice (the keep-first aggregate side and the
+    # join-back probe side are non-identical subtrees — partial
+    # HashAggregate vs projection with the extra ``o`` column — so no
+    # ReusedExchange applies); at a scale factor where the double chain
+    # dominates the materialization, re-evaluate.
     # Keep-first = occurrence o equals the segment's global min(o) —
     # groupBy + equi-join back rather than row_number over
     # Window.partitionBy(seg): a corpus-viral segment would make the

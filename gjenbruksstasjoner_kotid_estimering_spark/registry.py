@@ -62,11 +62,267 @@ def register(
 # oldest newest-evidence round (alphabetical within a round).
 # Regenerate with: python scripts/rotate_priority.py
 _PRIORITY: tuple[str, ...] = (
-    # --- newest driver evidence r10 (3 keys) ---
-    "tpch_q8",
-    "tpch_q9",
-    "window_ignore_nulls",
-    # --- newest driver evidence r11 (50 keys) ---
+    # --- pinned: rewritten since newest evidence (21 keys) ---
+    "agg_count_min_sketch",
+    "agg_median_mode",
+    "basket_part_pairs",
+    "corpus_mixture_weights",
+    "dedup_incremental",
+    "dedup_semantic_kmeans",
+    "er_resolve_parts",
+    "events_anomaly_mad",
+    "events_funnel",
+    "events_retention_cohorts",
+    "graph_bfs_distance",
+    "graph_sssp_weighted",
+    "merge_tx_cdf_to_scd2",
+    "ml_classifier_eval",
+    "sample_importance_weighted",
+    "similarity_topk_ivf",
+    "stat_ks_two_sample_exact",
+    "stat_spearman_rank_exact",
+    "timeseries_gapfill",
+    "tpch_q15",
+    "udf_pandas_grouped_agg",
+    # --- newest driver evidence r11 (3 keys) ---
+    "udtf_polymorphic_split",
+    "upsert_merge_tx",
+    "window_islands_runs",
+    # --- newest driver evidence r12 (44 keys) ---
+    "agg_kmv_sketch_rollup",
+    "agg_listagg_ordered",
+    "agg_transpose_matrix",
+    "bpe_train_merges",
+    "date_tz_convert",
+    "events_attribution_touch",
+    "events_feature_store_pit",
+    "events_regex_sequence_match",
+    "join_aqe_skew",
+    "join_strategy_hints",
+    "merge_tx_ivm_aggregate",
+    "merge_tx_time_travel",
+    "ml_als_recommend",
+    "ml_kmeans_one_step_exact",
+    "scan_file_metadata",
+    "scan_nested_schema_pruning",
+    "scan_observe_metrics",
+    "set_intersect_except_all",
+    "sql_ddl_default_columns",
+    "sql_execute_immediate",
+    "sql_group_by_all",
+    "sql_interval_arithmetic",
+    "sql_lateral_column_alias",
+    "sql_scripting_block",
+    "stat_chi_square_independence",
+    "stat_corr_covar_exact",
+    "stat_kendall_tau_exact",
+    "stat_mann_whitney_u_exact",
+    "stream_late_data_drop_true",
+    "stream_python_datasource_true",
+    "stream_scd2_dimension_true",
+    "stream_statestore_reader",
+    "stream_union_sources_true",
+    "string_url_parse",
+    "subquery_not_in_null_semantics",
+    "text_heavy_hitter_tokens",
+    "text_quality",
+    "text_token_counts",
+    "text_ttr_lexical_diversity",
+    "text_url_canonical_dedup",
+    "timeseries_ewma_dyadic",
+    "udf_map_in_arrow",
+    "unpivot_melt",
+    "window_running_distinct",
+    # --- newest driver evidence r13 (47 keys) ---
+    "agg_approx_top_k",
+    "agg_bitmap_distinct_rollup",
+    "agg_distinct_exact_vs_approx",
+    "agg_max_by_min_by",
+    "agg_weighted_median",
+    "dedup_text_normalized",
+    "dq_constraint_checks",
+    "embedding_dim_stats",
+    "join_dynamic_partition_pruning",
+    "join_fuzzy_levenshtein",
+    "join_geo_gridblock",
+    "join_runtime_bloom",
+    "merge_tx_delete_cdf",
+    "merge_tx_evolve_conditional",
+    "merge_tx_full_clause_matrix",
+    "merge_tx_restore_version",
+    "merge_tx_sync_delete_scope",
+    "merge_tx_vacuum_retention",
+    "merge_tx_when_matched_delete",
+    "multimodal_image_phash_dedup",
+    "multimodal_image_tiles",
+    "pandas_api_pipeline",
+    "profile_skew_keys",
+    "sample_repeat_epochs",
+    "scan_csv_permissive_corrupt",
+    "scan_csv_roundtrip",
+    "scan_hive_partitioned",
+    "scan_jsonl_roundtrip",
+    "scan_parquet_merge_schema",
+    "scan_zorder_skipping",
+    "sink_dynamic_partition_overwrite",
+    "sql_parameterized",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "sql_udf_functions",
+    "stream_file_sink_exactly_once",
+    "stream_jsonl_ingest_true",
+    "stream_ohlc_true",
+    "stream_sliding_window_true",
+    "stream_static_enrich_true",
+    "stream_txn_multi_table_true",
+    "text_bigram_coverage",
+    "text_feature_hashing",
+    "text_vocab_zipf_stats",
+    "timeseries_merge_intervals",
+    "window_cume_dist_deciles",
+    "window_running_median_exact",
+    # --- newest driver evidence r14 (49 keys) ---
+    "agg_approx_quantile",
+    "agg_histogram",
+    "agg_hll_sketch",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "array_funcs",
+    "array_predicates",
+    "asof_interp_join",
+    "date_arith",
+    "decimal_cast",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_substring_spans",
+    "dedup_fingerprint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "explode_unpivot",
+    "join_asof_nearest",
+    "join_lateral",
+    "join_salted_skew",
+    "json_extract",
+    "json_struct_parse",
+    "map_funcs",
+    "null_funcs",
+    "queue_estimate",
+    "regex_extract_timestamp",
+    "set_intersect_except",
+    "set_union",
+    "set_union_all",
+    "similarity_pairs_lsh",
+    "similarity_topk",
+    "sort_multi",
+    "stream_tumbling_window",
+    "string_funcs2",
+    "struct_map_funcs",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "text_exact_substring_rewrite",
+    "timeseries_resample_ohlc",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "txn_multi_table_atomic",
+    "udf_arrow_scalar",
+    "udtf_table_arg_topk",
+    # --- newest driver evidence r15 (43 keys) ---
+    "agg_bitwise",
+    "array_funcs2",
+    "corpus_to_shards_pipeline",
+    "dedup_time_bounded",
+    "doc_pack_sequences",
+    "embedding_centroids",
+    "explode_outer_slices",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_interval_events",
+    "join_null_safe",
+    "json_variant_get",
+    "map_hof_funcs",
+    "queue_estimate_ml",
+    "sample_stratified_exact",
+    "scd2_intervals",
+    "session_window_agg",
+    "sessionize_gaps",
+    "similarity_knn_join",
+    "stream_sliding_window",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf",
+    "text_tfidf_exact",
+    "text_vocab_encode",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q6",
+    "try_funcs",
+    "udaf_grouped_stats",
+    "udtf_bigrams",
+    "upsert_last_write_wins",
+    "upsert_sink_shape",
+    "window_first_last_nth",
+    "window_frame_agg",
+    "window_lag_lead",
+    "window_ntile",
+    "window_time_range_rolling",
+    # --- newest driver evidence r16 (46 keys) ---
+    "agg_approx_distinct",
+    "agg_basic",
+    "agg_cube",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "bpe_pair_stats",
+    "corpus_split_assign",
+    "date_trunc_agg",
+    "dedup_containment_rare_shingle",
+    "dedup_winnow_pairs",
+    "doc_chunk_overlap",
+    "events_ab_test",
+    "events_pattern_peaks",
+    "events_transition_matrix",
+    "graph_triangle_count",
+    "join_asof_abs_nearest",
+    "join_asof_forward",
+    "merge_tx_compact_read",
+    "merge_tx_delete_update",
+    "merge_tx_pruned_read",
+    "multimodal_audio_stats",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "profile_columns",
+    "recursive_cte_hierarchy",
+    "scan_python_datasource",
+    "similarity_topk_pq",
+    "stat_regression_exact",
+    "text_bm25_rank",
+    "text_gopher_quality_flags",
+    "text_pmi_positive_pairs",
+    "text_segment_dedup",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q7",
+    "window_percent_rank",
+    "window_range_frame",
+    "window_rank",
+    # --- newest driver evidence r17 (50 keys) ---
     "agg_collect",
     "agg_stats_exact",
     "case_when_threshold",
@@ -114,264 +370,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_winnow_fingerprints",
     "timeseries_rollup_cascade",
-    "udtf_polymorphic_split",
-    "upsert_merge_tx",
-    "window_islands_runs",
-    # --- newest driver evidence r12 (50 keys) ---
-    "agg_count_min_sketch",
-    "agg_kmv_sketch_rollup",
-    "agg_listagg_ordered",
-    "agg_transpose_matrix",
-    "bpe_train_merges",
-    "date_tz_convert",
-    "er_resolve_parts",
-    "events_attribution_touch",
-    "events_feature_store_pit",
-    "events_regex_sequence_match",
-    "graph_sssp_weighted",
-    "join_aqe_skew",
-    "join_strategy_hints",
-    "merge_tx_cdf_to_scd2",
-    "merge_tx_ivm_aggregate",
-    "merge_tx_time_travel",
-    "ml_als_recommend",
-    "ml_kmeans_one_step_exact",
-    "scan_file_metadata",
-    "scan_nested_schema_pruning",
-    "scan_observe_metrics",
-    "set_intersect_except_all",
-    "sql_ddl_default_columns",
-    "sql_execute_immediate",
-    "sql_group_by_all",
-    "sql_interval_arithmetic",
-    "sql_lateral_column_alias",
-    "sql_scripting_block",
-    "stat_chi_square_independence",
-    "stat_corr_covar_exact",
-    "stat_kendall_tau_exact",
-    "stat_ks_two_sample_exact",
-    "stat_mann_whitney_u_exact",
-    "stat_spearman_rank_exact",
-    "stream_late_data_drop_true",
-    "stream_python_datasource_true",
-    "stream_scd2_dimension_true",
-    "stream_statestore_reader",
-    "stream_union_sources_true",
-    "string_url_parse",
-    "subquery_not_in_null_semantics",
-    "text_heavy_hitter_tokens",
-    "text_quality",
-    "text_token_counts",
-    "text_ttr_lexical_diversity",
-    "text_url_canonical_dedup",
-    "timeseries_ewma_dyadic",
-    "udf_map_in_arrow",
-    "unpivot_melt",
-    "window_running_distinct",
-    # --- newest driver evidence r13 (50 keys) ---
-    "agg_approx_top_k",
-    "agg_bitmap_distinct_rollup",
-    "agg_distinct_exact_vs_approx",
-    "agg_max_by_min_by",
-    "agg_weighted_median",
-    "dedup_text_normalized",
-    "dq_constraint_checks",
-    "embedding_dim_stats",
-    "graph_bfs_distance",
-    "join_dynamic_partition_pruning",
-    "join_fuzzy_levenshtein",
-    "join_geo_gridblock",
-    "join_runtime_bloom",
-    "merge_tx_delete_cdf",
-    "merge_tx_evolve_conditional",
-    "merge_tx_full_clause_matrix",
-    "merge_tx_restore_version",
-    "merge_tx_sync_delete_scope",
-    "merge_tx_vacuum_retention",
-    "merge_tx_when_matched_delete",
-    "multimodal_image_phash_dedup",
-    "multimodal_image_tiles",
-    "pandas_api_pipeline",
-    "profile_skew_keys",
-    "sample_importance_weighted",
-    "sample_repeat_epochs",
-    "scan_csv_permissive_corrupt",
-    "scan_csv_roundtrip",
-    "scan_hive_partitioned",
-    "scan_jsonl_roundtrip",
-    "scan_parquet_merge_schema",
-    "scan_zorder_skipping",
-    "sink_dynamic_partition_overwrite",
-    "sql_parameterized",
-    "sql_pipe_syntax",
-    "sql_session_variables",
-    "sql_udf_functions",
-    "stream_file_sink_exactly_once",
-    "stream_jsonl_ingest_true",
-    "stream_ohlc_true",
-    "stream_sliding_window_true",
-    "stream_static_enrich_true",
-    "stream_txn_multi_table_true",
-    "text_bigram_coverage",
-    "text_feature_hashing",
-    "text_vocab_zipf_stats",
-    "timeseries_merge_intervals",
-    "udf_pandas_grouped_agg",
-    "window_cume_dist_deciles",
-    "window_running_median_exact",
-    # --- newest driver evidence r14 (50 keys) ---
-    "agg_approx_quantile",
-    "agg_histogram",
-    "agg_hll_sketch",
-    "agg_median_mode",
-    "agg_percentiles",
-    "agg_salted_skew",
-    "array_funcs",
-    "array_predicates",
-    "asof_interp_join",
-    "date_arith",
-    "decimal_cast",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_substring_spans",
-    "dedup_fingerprint",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "explode_unpivot",
-    "join_asof_nearest",
-    "join_lateral",
-    "join_salted_skew",
-    "json_extract",
-    "json_struct_parse",
-    "map_funcs",
-    "null_funcs",
-    "queue_estimate",
-    "regex_extract_timestamp",
-    "set_intersect_except",
-    "set_union",
-    "set_union_all",
-    "similarity_pairs_lsh",
-    "similarity_topk",
-    "sort_multi",
-    "stream_tumbling_window",
-    "string_funcs2",
-    "struct_map_funcs",
-    "subquery_correlated_scalar",
-    "subquery_exists",
-    "text_exact_substring_rewrite",
-    "timeseries_resample_ohlc",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q5",
-    "txn_multi_table_atomic",
-    "udf_arrow_scalar",
-    "udtf_table_arg_topk",
-    # --- newest driver evidence r15 (50 keys) ---
-    "agg_bitwise",
-    "array_funcs2",
-    "corpus_mixture_weights",
-    "corpus_to_shards_pipeline",
-    "dedup_incremental",
-    "dedup_semantic_kmeans",
-    "dedup_time_bounded",
-    "doc_pack_sequences",
-    "embedding_centroids",
-    "explode_outer_slices",
-    "graph_pagerank",
-    "join_asof_tolerance",
-    "join_interval_events",
-    "join_null_safe",
-    "json_variant_get",
-    "map_hof_funcs",
-    "ml_classifier_eval",
-    "queue_estimate_ml",
-    "sample_stratified_exact",
-    "scd2_intervals",
-    "session_window_agg",
-    "sessionize_gaps",
-    "similarity_knn_join",
-    "similarity_topk_ivf",
-    "stream_sliding_window",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_tfidf",
-    "text_tfidf_exact",
-    "text_vocab_encode",
-    "timeseries_gapfill",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q6",
-    "try_funcs",
-    "udaf_grouped_stats",
-    "udtf_bigrams",
-    "upsert_last_write_wins",
-    "upsert_sink_shape",
-    "window_first_last_nth",
-    "window_frame_agg",
-    "window_lag_lead",
-    "window_ntile",
-    "window_time_range_rolling",
-    # --- newest driver evidence r16 (50 keys) ---
-    "agg_approx_distinct",
-    "agg_basic",
-    "agg_cube",
-    "agg_distinct",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_rollup",
-    "basket_part_pairs",
-    "bpe_pair_stats",
-    "corpus_split_assign",
-    "date_trunc_agg",
-    "dedup_containment_rare_shingle",
-    "dedup_winnow_pairs",
-    "doc_chunk_overlap",
-    "events_ab_test",
-    "events_anomaly_mad",
-    "events_funnel",
-    "events_pattern_peaks",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "graph_triangle_count",
-    "join_asof_abs_nearest",
-    "join_asof_forward",
-    "merge_tx_compact_read",
-    "merge_tx_delete_update",
-    "merge_tx_pruned_read",
-    "multimodal_audio_stats",
-    "multimodal_binary_stats",
-    "multimodal_frame_sample",
-    "profile_columns",
-    "recursive_cte_hierarchy",
-    "scan_python_datasource",
-    "similarity_topk_pq",
-    "stat_regression_exact",
-    "text_bm25_rank",
-    "text_gopher_quality_flags",
-    "text_pmi_positive_pairs",
-    "text_segment_dedup",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q7",
-    "window_percent_rank",
-    "window_range_frame",
-    "window_rank",
+    "tpch_q8",
+    "tpch_q9",
+    "window_ignore_nulls",
 )
 
 

@@ -33,9 +33,11 @@ EVDIR = "/tmp/spark-events-profile"
 def get_profiled_spark():
     """get_spark()'s exact confs + the event log — same session shape as
     bench.py, so job/stage numbers here explain bench rows."""
+    import shutil
+
     os.makedirs(EVDIR, exist_ok=True)
     for f in glob.glob(os.path.join(EVDIR, "*")):
-        os.remove(f)
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
     import tempfile
 
     from pyspark.sql import SparkSession
@@ -59,6 +61,10 @@ def get_profiled_spark():
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        # Spark 4 defaults to zstd-compressed rolling (v2 directory)
+        # logs; this parser wants one plain-text file
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
             tempfile.mkdtemp(prefix="spark-warehouse-"),
@@ -71,10 +77,26 @@ def get_profiled_spark():
     return tune(spark)
 
 
+def _eventlog_lines(path: str):
+    """Yield event-log JSON lines from either layout: a single file
+    (eventLog v1) or the rolling v2 DIRECTORY (Spark 4 writes
+    ``eventlog_v2_<app>/events_*`` part files plus an appstatus marker)."""
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "events_*"))
+            if os.path.isfile(p)
+        )
+        for p in parts:
+            yield from open(p)
+    else:
+        yield from open(path)
+
+
 def parse_eventlog(path: str):
     jobs = {}
     stages = {}
-    for line in open(path):
+    for line in _eventlog_lines(path):
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:

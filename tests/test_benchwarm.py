@@ -263,19 +263,38 @@ def test_full_sidecar_schema_is_stable():
                    "steal_of_busy": 0.01},
         row_steal={"stream_x": 0.02, "batch_y": None},
         second_run_row_steal={"stream_x": 0.4},
+        harness_floor={"jvm_noop_min_s": 0.05, "parquet_scan_min_s": 0.09,
+                       "repeats": 5},
     )
     assert set(full) == {
         "metric", "value", "unit", "n_queries", "queries", "errors",
         "prewarmed", "warmup_ok", "stream_stats", "second_run_s",
         "first_run_overhead_s", "second_run_errors",
         "second_run_stream_stats", "cpu_steal", "row_steal",
-        "second_run_row_steal", "sf",
+        "second_run_row_steal", "harness_floor_s", "sf",
     }
     assert full["value"] == line["value"]  # single-sourced total
     assert full["second_run_stream_stats"]["stream_x"]["microbatches"] == 4
     assert full["row_steal"]["stream_x"] == 0.02
     assert full["second_run_row_steal"]["stream_x"] == 0.4
+    assert full["harness_floor_s"]["jvm_noop_min_s"] == 0.05
     json.dumps(full)  # must survive serialization
+
+
+def test_round_sidecar_path_derives_next_round(tmp_path):
+    """The per-round full-sidecar copy (r17 verdict #2a) lands as
+    bench_full_r{N}.json with N = newest committed BENCH round + 1 —
+    the round the fresh sweep belongs to — and is skipped entirely in
+    dirs without driver sidecars (unit-test tmpdirs)."""
+    import bench
+
+    assert bench.round_sidecar_path(str(tmp_path)) is None
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r17.json").write_text("{}")
+    (tmp_path / "BENCH_r17_c8.json").write_text("{}")  # low-core rerun: ignored
+    assert bench.round_sidecar_path(str(tmp_path)) == str(
+        tmp_path / "bench_full_r18.json"
+    )
 
 
 def test_steal_stats_ratio_and_unavailable_cases():
