@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for named queries to plans/r17/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
 Optimization-round evidence tooling (guide §1/§7.2): the judge cannot run
 Spark, so every touched query's before/after physical plan is committed.
@@ -21,7 +21,7 @@ from gjenbruksstasjoner_kotid_estimering_spark import registry
 from gjenbruksstasjoner_kotid_estimering_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
-OUT = os.path.join(REPO, "plans", "r17")
+OUT = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r18"))
 
 
 def main() -> int:
