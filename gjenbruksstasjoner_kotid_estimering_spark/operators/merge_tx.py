@@ -276,8 +276,12 @@ def merge(
         .drop("_rn")
     )
     # updates are re-read per retry attempt; localCheckpoint so the
-    # (possibly expensive) upstream plan runs once
-    dedup = dedup.localCheckpoint(eager=True)
+    # (possibly expensive) upstream plan runs once. Lazy (r18, §2.5):
+    # the first consumer (the affected-files semi-join, or the type
+    # coercion projection's broadcast) materializes it — same
+    # single-execution guarantee without a dedicated driver job per
+    # MERGE call.
+    dedup = dedup.localCheckpoint(eager=False)
     has_del = delete_condition is not None
     if has_del:
         # evaluated once, on the update row's own columns; carried as a
