@@ -50,12 +50,16 @@ FLOORS = {
     "dedup_semantic_kmeans": 2.4,
     "dedup_ngram_jaccard": 2.2,
     "dedup_simhash": 1.9,
-    "er_resolve_parts": 2.1,
+    # re-pinned r18: the r17 union-find rewrite + r18 edge-probe bound —
+    # quiet-row sweep readings 1.21–1.46s (own-window steal <2%)
+    "er_resolve_parts": 1.3,
     "events_anomaly_mad": 1.2,
     "graph_bfs_distance": 2.0,
     "graph_sssp_weighted": 2.1,
     "graph_pagerank": 3.0,
-    "image_pipeline_stats": 1.7,
+    # re-pinned r18: encoder entropy coding vectorized (0.46→0.033s per
+    # frame) — isolated 0.94s steady even at 56% measured steal
+    "image_pipeline_stats": 0.9,
     "graph_triangle_count": 2.5,
     "join_aqe_skew": 1.7,
     "join_bucketed_colocated": 2.0,
